@@ -1,0 +1,100 @@
+"""Benchmark harness. Prints ONE JSON line with the headline metric.
+
+Headline: adversarial latent-optimization iterations/sec — the inner loop
+of STRIVE's flagship pipeline (reference ``utils/adv_gen_optim.py:105-175``:
+per iteration two full autoregressive decoder rollouts + AdvGenLoss +
+Adam). Workload: 4 scenes x 8 agents (32 total agents, the reference's
+recommended "batch_size ~ total agents" scale, README.md:74), FT=12,
+256x256 map crops, full-size model.
+
+vs_baseline: the reference publishes no numbers and cannot run in this
+image (no GPU build of torch-geometric). BASELINE.md records the
+measurement protocol; we use a documented estimate of the reference's
+closed-form workload on a V100 (~1.5 iters/sec at this scale) until a GPU
+measurement lands. See BASELINE.md "Estimated reference throughput".
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+EST_REFERENCE_ITERS_PER_SEC = 1.5  # documented estimate, see BASELINE.md
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from strive_tpu.maps import synthetic_map_store
+    from strive_tpu.model.traffic_model import TrafficModel, NormConfig
+    from strive_tpu.normalize import att_normalizer_for, state_normalizer_for
+    from strive_tpu.data.synthetic import synthetic_scene_list
+    from strive_tpu.scene import pad_scene_arrays
+    from strive_tpu.optim.adv import run_adv_gen_optim
+
+    B, NA, PT, FT = 4, 8, 4, 12
+    cats = ("car", "truck")
+    state_norm = state_normalizer_for(cats)
+    att_norm = att_normalizer_for(cats)
+    norm = NormConfig.from_normalizers(state_norm, att_norm)
+    model = TrafficModel(npast=PT, nfuture=FT, map_obs_size_pix=256,
+                         nclasses=2, norm=norm)
+    store = synthetic_map_store(num_maps=2, size_px=2048, channels=4,
+                                pix_per_m=4.0)
+    scenes = synthetic_scene_list(num_scenes=B, num_maps=2, map_size_px=2048,
+                                  PT=PT, FT=FT, min_agents=NA, max_agents=NA)
+    scene = pad_scene_arrays(scenes, NA, 2)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, scene, store, key, method="forward")
+
+    emb = jax.jit(lambda p, s: model.apply(p, s, store, method="embed"))(
+        params, scene
+    )
+    prior = emb["prior_out"]
+    z0 = prior[0]
+    weights = {
+        "adv_crash": 2.0, "motion_prior": 1.0, "motion_prior_atk": 0.005,
+        "coll_veh": 20.0, "coll_veh_plan": 20.0, "coll_env": 20.0,
+        "init_z": 0.5, "init_z_atk": 0.05, "match_ext": 10.0,
+        "motion_prior_ext": 0.0001,
+    }
+
+    def run(iters):
+        out = run_adv_gen_optim(
+            model, params, z0, 0.05, weights, scene, store, iters, emb,
+            "ego", (prior[0][:, 0], prior[1][:, 0]), prior, 2, None,
+        )
+        jax.tree_util.tree_map(
+            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
+            else x, out[:2])
+        return out
+
+    t0 = time.time()
+    run(2)  # warmup/compile
+    compile_time = time.time() - t0
+    print(f"compile+warmup: {compile_time:.1f}s", file=sys.stderr)
+
+    ITERS = 50
+    t0 = time.time()
+    run(ITERS)
+    elapsed = time.time() - t0
+    iters_per_sec = ITERS / elapsed
+    agent_steps_per_sec = iters_per_sec * 2 * B * NA * FT  # 2 decodes/iter
+    print(
+        f"{ITERS} adv-optim iters in {elapsed:.2f}s -> "
+        f"{iters_per_sec:.2f} it/s, rollout {agent_steps_per_sec:.0f} "
+        f"agent-steps/s (x2 decode passes), device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "adv_latent_optim_iters_per_sec",
+        "value": round(iters_per_sec, 3),
+        "unit": "iters/sec (B=4 scenes x NA=8, FT=12, 256px crops)",
+        "vs_baseline": round(iters_per_sec / EST_REFERENCE_ITERS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

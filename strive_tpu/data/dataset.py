@@ -1,0 +1,75 @@
+"""Dataset + fixed-shape batch iteration.
+
+Replaces torch-geometric's dynamic graph batching (reference
+``train_traffic.py:236-247``) with static-shape padded batches: every batch
+is (B, NA_max, ...) so jit compiles once. Scenes with more than NA_max
+agents keep the ego plus the NA_max-1 agents nearest to it (distance at the
+last past step), mirroring how the reference's dynamic Σ-NA batching bounds
+compute. The tail batch is padded with zero-mask scenes (fully masked out of
+every loss), not dropped.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from ..scene import SceneBatch, pad_scene_arrays
+
+
+def _trim_scene(sc, na_max):
+    na = sc["past"].shape[0]
+    if na <= na_max:
+        return sc
+    ego_pos = sc["past"][0, -1, :2]
+    d = np.linalg.norm(sc["past"][:, -1, :2] - ego_pos, axis=-1)
+    d[0] = -1.0  # ego always kept
+    keep = np.argsort(d)[:na_max]
+    keep.sort()
+    out = {}
+    for k, v in sc.items():
+        out[k] = v[keep] if isinstance(v, np.ndarray) and v.ndim >= 1 and \
+            v.shape[0] == na else v
+    return out
+
+
+class SceneDataset:
+    """A list of per-scene dicts with padding/bucketing into SceneBatches."""
+
+    def __init__(self, scenes: List[dict], na_max: int, nc: int):
+        self.scenes = [_trim_scene(s, na_max) for s in scenes]
+        self.na_max = na_max
+        self.nc = nc
+
+    def __len__(self):
+        return len(self.scenes)
+
+    def get_batch(self, indices) -> SceneBatch:
+        return pad_scene_arrays([self.scenes[i] for i in indices],
+                                self.na_max, self.nc)
+
+
+def batch_iterator(ds: SceneDataset, batch_size: int, shuffle=True,
+                   seed: Optional[int] = 0,
+                   drop_last=False) -> Iterator[SceneBatch]:
+    """Yield fixed-shape SceneBatches; the tail is padded with masked-out
+    copies of scene 0 so every batch has identical shapes."""
+    order = np.arange(len(ds))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for start in range(0, len(order), batch_size):
+        idx = order[start : start + batch_size]
+        if len(idx) < batch_size:
+            if drop_last:
+                return
+            pad_n = batch_size - len(idx)
+            batch = ds.get_batch(list(idx) + [int(order[0])] * pad_n)
+            # mask out the padded scenes entirely
+            mask = np.asarray(batch.mask).copy()
+            mask[len(idx):] = False
+            import jax.numpy as jnp
+
+            yield batch.replace(mask=jnp.asarray(mask))
+        else:
+            yield ds.get_batch(idx)

@@ -1,0 +1,140 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from helpers import init_model
+
+from strive_tpu.optim import (
+    run_init_optim,
+    run_adv_gen_optim,
+    run_find_solution_optim,
+    run_refine_optim,
+    determine_feasibility,
+    compute_adv_gen_success,
+    compute_sol_success,
+)
+from strive_tpu.normalize import state_normalizer_for, att_normalizer_for
+
+
+@pytest.fixture(scope="module")
+def setup():
+    return init_model()
+
+
+@pytest.fixture(scope="module")
+def embedded(setup):
+    model, params, scene, store = setup
+    emb = model.apply(params, scene, store, method="embed")
+    return emb
+
+
+def test_init_optim_reduces_loss(setup, embedded):
+    model, params, scene, store = setup
+    prior = embedded["prior_out"]
+    z0 = embedded["posterior_out"][0]
+    weights = {"match_ext": 10.0, "motion_prior_ext": 0.01}
+    zf, fut, losses = run_init_optim(
+        model, params, z0, scene.future_gt, scene.future_vis, 0.1, weights,
+        scene, store, 6, embedded, prior,
+    )
+    losses = np.asarray(losses)
+    assert losses[-1] < losses[0]
+    assert fut.shape == (scene.B, scene.NA, scene.FT, 4)
+    assert np.all(np.isfinite(np.asarray(zf)))
+
+
+def test_adv_gen_optim_open_loop(setup, embedded):
+    model, params, scene, store = setup
+    prior = embedded["prior_out"]
+    z0 = prior[0]
+    weights = {
+        "adv_crash": 2.0, "motion_prior": 1.0, "motion_prior_atk": 0.005,
+        "coll_veh": 20.0, "coll_veh_plan": 20.0, "coll_env": 20.0,
+        "init_z": 0.5, "init_z_atk": 0.05, "match_ext": 10.0,
+        "motion_prior_ext": 0.0001,
+    }
+    zf, final, min_agt, min_t, losses = run_adv_gen_optim(
+        model, params, z0, 0.05, weights, scene, store, 4, embedded, "ego",
+        (prior[0][:, 0], prior[1][:, 0]), prior, 0, None,
+    )
+    assert final.shape == (scene.B, scene.NA, scene.FT, 4)
+    # ego slot must be exactly the recorded planner future
+    np.testing.assert_allclose(
+        np.asarray(final[:, 0]), np.asarray(scene.future_gt[:, 0, :, :4]),
+        atol=1e-6,
+    )
+    assert np.all(np.asarray(min_agt) >= 1)
+    assert np.all(np.isfinite(np.asarray(losses)))
+
+    # success check executes (may be False on random scenes)
+    ok, coll, coll_t = compute_adv_gen_success(
+        final[0], state_normalizer_for(("car", "truck")),
+        att_normalizer_for(("car", "truck")), scene.lw[0], scene.mask[0],
+        int(min_agt[0]),
+    )
+    assert isinstance(ok, bool)
+
+
+def test_sol_optim(setup, embedded):
+    model, params, scene, store = setup
+    prior = embedded["prior_out"]
+    z0 = prior[0]
+    final = scene.future_gt[..., :4]
+    weights = {"motion_prior": 0.005, "coll_veh": 10.0, "coll_env": 10.0,
+               "motion_prior_ext": 0.001, "match_ext": 10.0, "init_z": 0.0}
+    zf, sol, losses = run_find_solution_optim(
+        model, params, z0, final, scene.FT, 0.05, weights, scene, store, 3,
+        embedded, prior, prior,
+    )
+    assert sol.shape == final.shape
+    # non-ego slots replaced by the adversarial scenario
+    np.testing.assert_allclose(
+        np.asarray(sol[:, 1:]), np.asarray(final[:, 1:]), atol=1e-6
+    )
+    ok = compute_sol_success(
+        sol[0], jax.tree_util.tree_map(lambda x: x[:1], scene), store,
+        state_normalizer_for(("car", "truck")),
+        att_normalizer_for(("car", "truck")),
+    )
+    assert isinstance(ok, bool)
+
+
+def test_refine_optim(setup, embedded):
+    model, params, scene, store = setup
+    prior = embedded["prior_out"]
+    weights = {"coll_veh": 100.0, "coll_env": 100.0, "init_z": 0.01,
+               "motion_prior": 1.0}
+    zf, fut, losses = run_refine_optim(
+        model, params, prior[0], 0.05, weights, scene, store, 3, embedded,
+        prior, samp_future_len=scene.FT + 2, save_future_len=scene.FT,
+    )
+    assert fut.shape == (scene.B, scene.NA, scene.FT, 4)
+    assert np.all(np.isfinite(np.asarray(fut)))
+
+
+def test_feasibility(setup):
+    model, params, scene, store = setup
+    NS, NA, FT = 3, scene.NA, scene.FT
+    state_norm = state_normalizer_for(("car", "truck"))
+    # hand-build samples: agent 1 approaches ego, agent 2 stays far
+    samples = np.zeros((NS, NA, FT, 4), np.float32)
+    samples[..., 2] = 1.0  # heading +x
+    samples[:, 0, :, 0] = np.linspace(60, 70, FT)  # ego
+    samples[:, 0, :, 1] = 60.0
+    samples[:, 1, :, 0] = np.linspace(75, 66, FT)  # approaches head-on
+    samples[:, 1, :, 1] = 60.0
+    samples[:, 2, :, 0] = 10.0
+    samples[:, 2, :, 1] = 10.0
+    samples_n = np.asarray(state_norm.normalize(samples))
+    mask = np.zeros((NA,), bool)
+    mask[:3] = True
+    feas, t, dist = determine_feasibility(
+        jnp.asarray(samples_n), jnp.asarray(mask), state_norm,
+        feasibility_thresh=10.0, feasibility_time=0, feasibility_vel=0.0,
+        check_non_drivable_separation=False,
+    )
+    feas = np.asarray(feas)
+    assert feas[0]        # approaching agent is feasible
+    assert not feas[1]    # far agent is not
+    assert not feas[2:].any()  # padded
