@@ -1,0 +1,245 @@
+"""Offline nuScenes ETL: raw data -> npz artifacts for strive_tpu.
+
+Requires nuscenes-devkit and the raw nuScenes download. Produces, under
+``{data_dir}/strive_tpu_etl/{version}/``:
+  maps.npz          raster (4, C, maxH, maxW) uint8 + dx (4, 2)
+  lane_graphs.pkl   map-name -> lane-graph dict
+  scenes.npz        per-scene agent arrays (traj/vis/lw/sem/map_idx)
+  meta.json         map_names, scene_names, version, categories
+
+This replaces the reference's at-startup rasterization + metadata scan
+(``map_env.py:79-166``, ``nuscenes_dataset.py:350-589``) with a one-time
+preprocessing pass; runtime jobs just mmap the arrays.
+"""
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from strive_tpu.data.etl import CAT2KEY, REDUCE_MAP, states_from_xyh
+from strive_tpu.maps.lanegraph import flip_lanegraph_x, process_nuscenes_lanegraph
+from strive_tpu.maps.store import NUSC_MAP_SIZES, ROAD_LAYERS
+
+
+def rasterize_maps(nusc_maps, layers, pix_per_m, flip_singapore=True):
+    """Reference ``map_env.py:79-166`` — road layers collapsed to channel 0,
+    Singapore flipped about x, all maps zero-padded to the max size."""
+    map_list = list(nusc_maps.keys())
+    sizes_px, dxs = [], []
+    for mname in map_list:
+        msize = np.array(NUSC_MAP_SIZES[mname])
+        px = np.round(msize * pix_per_m).astype(np.int32)
+        dxs.append(msize / px)
+        sizes_px.append(tuple(px))
+    maxH = max(s[0] for s in sizes_px)
+    maxW = max(s[1] for s in sizes_px)
+
+    road = [l for l in layers if l in ROAD_LAYERS]
+    other = [l for l in layers if l not in ROAD_LAYERS]
+    C = (1 if road else 0) + len(other)
+    raster = np.zeros((len(map_list), C, maxH, maxW), np.uint8)
+    for mi, mname in enumerate(map_list):
+        nmap = nusc_maps[mname]
+        sz = sizes_px[mi]
+        chans = []
+        if road:
+            img = nmap.get_map_mask(None, 0.0, road, sz)
+            chans.append(np.clip(img.sum(0), 0, 1)[None].astype(np.uint8))
+        if other:
+            chans.append(nmap.get_map_mask(None, 0.0, other, sz).astype(np.uint8))
+        img = np.concatenate(chans, axis=0)
+        if flip_singapore and mname.startswith("singapore"):
+            img = np.flip(img, axis=1).copy()
+        raster[mi, :, : sz[0], : sz[1]] = img
+    return raster, np.stack(dxs).astype(np.float32), map_list
+
+
+def extract_scenes(nusc, scene2map, map_list, key2cat, categories,
+                   flip_singapore=True):
+    """Reference ``nuscenes_dataset.py:350-589`` minus the drivable filter
+    (applied below with the raster)."""
+    from pyquaternion import Quaternion
+
+    cat2vec = {c: np.eye(len(categories), dtype=np.float32)[i]
+               for i, c in enumerate(sorted(categories))}
+    recs = sorted(nusc.sample,
+                  key=lambda r: (nusc.get("scene", r["scene_token"])["name"],
+                                 r["timestamp"]))
+    raw = {}
+    for rec in recs:
+        scene = nusc.get("scene", rec["scene_token"])["name"]
+        if scene not in scene2map:
+            continue
+        mname = scene2map[scene]
+        mheight = NUSC_MAP_SIZES[mname][0]
+        flip = flip_singapore and mname.startswith("singapore")
+        sc = raw.setdefault(scene, {"ego": {"rows": [], "l": 4.084, "w": 1.73,
+                                            "k": "car"}})
+        ego = nusc.get("ego_pose", nusc.get(
+            "sample_data", rec["data"]["LIDAR_TOP"])["ego_pose_token"])
+        rot = Quaternion(ego["rotation"]).rotation_matrix
+        h = np.arctan2(rot[1, 0], rot[0, 0])
+        y = mheight - ego["translation"][1] if flip else ego["translation"][1]
+        hs = -np.sin(h) if flip else np.sin(h)
+        sc["ego"]["rows"].append(
+            (ego["translation"][0], y, np.cos(h), hs, ego["timestamp"]))
+        for ann in rec["anns"]:
+            inst = nusc.get("sample_annotation", ann)
+            key = ".".join(inst["category_name"].split(".")[:2])
+            if key not in key2cat:
+                continue
+            rot = Quaternion(inst["rotation"]).rotation_matrix
+            h = np.arctan2(rot[1, 0], rot[0, 0])
+            y = (mheight - inst["translation"][1] if flip
+                 else inst["translation"][1])
+            hs = -np.sin(h) if flip else np.sin(h)
+            tok = inst["instance_token"]
+            a = sc.setdefault(tok, {"rows": [], "w": inst["size"][0],
+                                    "l": inst["size"][1], "k": key2cat[key]})
+            a["rows"].append((inst["translation"][0], y, np.cos(h), hs,
+                              rec["timestamp"]))
+    out = {}
+    for scene, agents in raw.items():
+        ego_rows = agents["ego"]["rows"]
+        t_index = {r[4]: i for i, r in enumerate(ego_rows)}
+        T = len(ego_rows)
+        ts = np.array([r[4] * 1e-6 for r in ego_rows])
+        names = ["ego"] + [k for k in agents if k != "ego"]
+        trajs, viss, lws, sems, kinds = [], [], [], [], []
+        for name in names:
+            a = agents[name]
+            x = np.full((T, 4), np.nan)
+            hh = np.full((T,), np.nan)
+            for r in a["rows"]:
+                i = t_index[r[4]]
+                x[i] = r[:4]
+                hh[i] = np.arctan2(r[3], r[2])
+            traj, accel, vis = states_from_xyh(x, hh, ts)
+            trajs.append(traj)
+            viss.append(vis)
+            lws.append([a["l"], a["w"]])
+            sems.append(cat2vec[a["k"]])
+            kinds.append(a["k"])
+        out[scene] = {
+            "traj": np.stack(trajs).astype(np.float32),
+            "vis": np.stack(viss).astype(np.float32),
+            "lw": np.array(lws, np.float32),
+            "sem": np.stack(sems),
+            "map_idx": map_list.index(scene2map[scene]),
+            "name": scene,
+            "kinds": kinds,
+        }
+    return out
+
+
+def apply_drivable_filter(scenes, raster, dx, carpark_channel):
+    """Drop agent frames off drivable (<30%) or on carpark (>=30%)
+    (reference ``nuscenes_dataset.py:504-522``). Runs with jax on whatever
+    backend is available."""
+    import jax.numpy as jnp
+
+    from strive_tpu.maps.queries import check_on_layer
+
+    drivable = jnp.asarray(raster[:, 0])
+    carpark = (jnp.asarray(raster[:, carpark_channel])
+               if carpark_channel is not None else None)
+    dxj = jnp.asarray(dx)
+    for sc in scenes.values():
+        NAg, T, _ = sc["traj"].shape
+        flat = sc["traj"][:, :, :4].reshape(-1, 4)
+        valid_in = ~np.isnan(flat).any(-1)
+        safe = np.where(valid_in[:, None], flat, 0.0).astype(np.float32)
+        lw = np.repeat(sc["lw"], T, axis=0)
+        mapix = np.full((NAg * T,), sc["map_idx"], np.int32)
+        frac = np.asarray(check_on_layer(drivable, dxj, jnp.asarray(safe),
+                                         jnp.asarray(lw), jnp.asarray(mapix)))
+        bad = frac < 0.3
+        if carpark is not None:
+            cfrac = np.asarray(check_on_layer(carpark, dxj, jnp.asarray(safe),
+                                              jnp.asarray(lw),
+                                              jnp.asarray(mapix)))
+            bad |= cfrac >= 0.3
+        bad &= valid_in
+        bad = bad.reshape(NAg, T)
+        bad[0] = False  # never filter ego
+        sc["traj"][bad] = np.nan
+        sc["vis"][bad] = 0.0
+    return scenes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_dir", required=True)
+    ap.add_argument("--version", default="trainval", choices=["trainval", "mini"])
+    ap.add_argument("--pix_per_m", type=float, default=4.0)
+    ap.add_argument("--agent_types", nargs="+", default=["car", "truck"])
+    ap.add_argument("--reduce_cats", action="store_true")
+    ap.add_argument("--layers", nargs="+",
+                    default=["drivable_area", "carpark_area", "road_divider",
+                             "lane_divider"])
+    args = ap.parse_args()
+
+    from nuscenes.nuscenes import NuScenes
+    from nuscenes.map_expansion.map_api import NuScenesMap
+
+    data_path = os.path.join(args.data_dir, args.version)
+    out_dir = os.path.join(args.data_dir, "strive_tpu_etl", args.version)
+    os.makedirs(out_dir, exist_ok=True)
+
+    print("Loading maps + rasterizing...")
+    nusc_maps = {m: NuScenesMap(dataroot=data_path, map_name=m)
+                 for m in NUSC_MAP_SIZES}
+    raster, dx, map_list = rasterize_maps(nusc_maps, args.layers,
+                                          args.pix_per_m)
+    np.savez_compressed(os.path.join(out_dir, "maps.npz"), raster=raster, dx=dx)
+
+    print("Building lane graphs...")
+    lgs = {}
+    for m, nmap in nusc_maps.items():
+        lg = process_nuscenes_lanegraph(nmap)
+        if m.startswith("singapore"):
+            lg = flip_lanegraph_x(lg, NUSC_MAP_SIZES[m][0])
+        lgs[m] = lg
+    with open(os.path.join(out_dir, "lane_graphs.pkl"), "wb") as f:
+        pickle.dump(lgs, f)
+
+    print("Extracting scene trajectories...")
+    nusc = NuScenes(version=f"v1.0-{args.version}", dataroot=data_path,
+                    verbose=False)
+    key2cat = {}
+    for cat in args.agent_types:
+        for k in CAT2KEY[cat]:
+            key2cat[k] = cat
+    categories = list(args.agent_types)
+    if args.reduce_cats:
+        key2cat = {k: REDUCE_MAP[k] for k in key2cat}
+        categories = sorted(set(key2cat.values()))
+    scene2map = {}
+    for rec in nusc.scene:
+        log = nusc.get("log", rec["log_token"])
+        scene2map[rec["name"]] = log["location"]
+
+    scenes = extract_scenes(nusc, scene2map, map_list, key2cat, categories)
+    carpark_chan = (1 + [l for l in args.layers if l not in ROAD_LAYERS]
+                    .index("carpark_area")
+                    if "carpark_area" in args.layers else None)
+    scenes = apply_drivable_filter(scenes, raster, dx, carpark_chan)
+
+    np.savez_compressed(os.path.join(out_dir, "scenes.npz"),
+                        scenes=np.array(scenes, dtype=object))
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"map_names": map_list,
+                   "scene_names": sorted(scenes.keys()),
+                   "version": args.version,
+                   "categories": categories}, f)
+    print(f"Wrote ETL artifacts to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

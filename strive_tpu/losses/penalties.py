@@ -113,7 +113,10 @@ def env_coll_penalties(traj, lw, mask, mapixes, drivable, dx):
     )
     pen_dist = jnp.sqrt(lw[..., 0] ** 2 / 4.0 + lw[..., 1] ** 2 / 4.0)
     pen_dist = jnp.broadcast_to(pen_dist[:, :, None], (B, NA, T)).reshape(-1)
-    dist = jnp.linalg.norm(flat[:, :2] - coll_pt, axis=-1)
+    # eps-safe norm: the collision point can coincide with the center, and
+    # norm(0) has a NaN gradient that would survive the where-mask below
+    d = flat[:, :2] - coll_pt
+    dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
     pen = jnp.where(cp_valid, 1.0 - dist / pen_dist, 0.0).reshape(B, NA, T)
     valid = cp_valid.reshape(B, NA, T) & mask[:, :, None]
     pen = jnp.where(valid, pen, 0.0)

@@ -1,0 +1,52 @@
+"""Host-callback bridge: run the rule-based planner inside jitted loops.
+
+The closed-loop adversarial optimization re-rolls the planner every Adam
+iteration on the current (detached) non-ego trajectories (reference
+``adv_gen_optim.py:133-139``). The planner is host numpy; we cross the
+device boundary with ``jax.experimental.io_callback`` — exactly one
+host round trip per iteration, mirroring the reference's .cpu().numpy()
+hop, while everything else stays compiled on the TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import io_callback
+
+
+def make_planner_rollout_fn(planner, scene_mask, state_norm, dt, future_len):
+    """Build ``fn(future_pred_norm (B, NA, FT, 4)) -> (B, FT, 4) norm``.
+
+    ``planner.reset(...)`` must already have been called. The callback
+    unnormalizes, strips ego + padding, rolls the planner per scene, and
+    re-normalizes. Safe to call inside jit.
+    """
+    mask_np = np.asarray(scene_mask)
+    B, NA = mask_np.shape
+    smean = np.asarray(state_norm.mean)[:4]
+    sstd = np.asarray(state_norm.std)[:4]
+    plan_t = np.linspace(dt, dt * future_len, future_len)
+    counts = mask_np.sum(axis=1) - 1  # non-ego agents per scene
+    agent_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+    def host_fn(future_pred_norm):
+        fp = np.asarray(future_pred_norm) * sstd + smean  # (B, NA, FT, 4)
+        nonego = []
+        for b in range(B):
+            n = int(mask_np[b].sum())
+            nonego.append(fp[b, 1:n])
+        nonego = (np.concatenate(nonego, axis=0) if nonego
+                  else np.empty((0, future_len, 4)))
+        out = planner.rollout(nonego, plan_t, agent_ptr, plan_t)  # (B, FT, 4)
+        return ((out - smean) / sstd).astype(np.float32)
+
+    def fn(future_pred_norm):
+        return io_callback(
+            host_fn,
+            jax.ShapeDtypeStruct((B, future_len, 4), jnp.float32),
+            future_pred_norm,
+        )
+
+    return fn

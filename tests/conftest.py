@@ -18,6 +18,13 @@ import sys
 import numpy as np
 import pytest
 
+# persistent XLA compilation cache — test graphs are large and this host is
+# single-core; caching makes reruns fast
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REFERENCE_SRC = "/root/reference/src"
 
 
