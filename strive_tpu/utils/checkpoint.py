@@ -24,12 +24,13 @@ def save_state(out_dir, name, params, opt_state, cur_epoch=0,
     ckptr = ocp.StandardCheckpointer()
     payload = {
         "params": jax.device_get(params),
-        "opt_state": jax.device_get(opt_state),
         "meta": {
             "epoch": np.asarray(cur_epoch),
             "min_val_loss": np.asarray(min_val_loss),
         },
     }
+    if opt_state is not None:
+        payload["opt_state"] = jax.device_get(opt_state)
     path = _path(out_dir, name)
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
@@ -37,22 +38,14 @@ def save_state(out_dir, name, params, opt_state, cur_epoch=0,
 
 
 def load_state(path, abstract_params=None, abstract_opt_state=None):
-    """Restore a checkpoint; tolerates structure via abstract targets.
+    """Restore a checkpoint (raw restore — shapes come from disk; the
+    abstract args are accepted for API symmetry but unused).
 
     :return: (params, opt_state, epoch, min_val_loss)
     """
+    del abstract_params, abstract_opt_state
     ckptr = ocp.StandardCheckpointer()
-    target = None
-    if abstract_params is not None:
-        target = {
-            "params": abstract_params,
-            "opt_state": abstract_opt_state,
-            "meta": {
-                "epoch": np.asarray(0),
-                "min_val_loss": np.asarray(float("inf")),
-            },
-        }
-    restored = ckptr.restore(os.path.abspath(path), target)
+    restored = ckptr.restore(os.path.abspath(path))
     return (
         restored["params"],
         restored.get("opt_state"),

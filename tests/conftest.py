@@ -1,29 +1,27 @@
-"""Test configuration: force an 8-virtual-device CPU mesh before jax import.
+"""Test configuration.
 
-All sharding tests run on this virtual mesh; the real TPU is only used by
-bench.py and the driver's compile checks.
+In this image the axon TPU plugin force-registers itself (JAX_PLATFORMS is
+pinned to 'axon' via /root/.axon_site), so tests run on the real TPU chip.
+Matmul precision is forced to f32 ('highest') so numeric parity tolerances
+against the torch reference hold; production paths use the default bf16
+MXU precision. Multi-device sharding is tested in a subprocess with a
+cleared PYTHONPATH (see test_multichip.py), which yields an 8-virtual-CPU
+mesh.
 """
 
 import os
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 import sys
 
 import numpy as np
 import pytest
 
-# persistent XLA compilation cache — test graphs are large and this host is
-# single-core; caching makes reruns fast
+# persistent XLA compilation cache — test graphs are large; caching makes
+# reruns fast
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_default_matmul_precision", "highest")
 
 REFERENCE_SRC = "/root/reference/src"
 
