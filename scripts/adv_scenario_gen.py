@@ -192,6 +192,13 @@ def main(argv=None):
                 drivable=store.drivable(), dx=store.dx,
                 map_idx=scene.map_idx[0],
             )
+            if cfg.adv_attack_with is not None:
+                # restrict candidate attackers to one category (reference
+                # adv_scenario_gen.py:209-219)
+                cats = sorted(cfg.agent_types)
+                ci = cats.index(cfg.adv_attack_with)
+                is_cat = np.asarray(scene.sem[0, 1:, ci]) > 0.5
+                feas = jnp.asarray(np.asarray(feas) & is_cat)
             n_feas = int(np.asarray(feas).sum())
             if int(scene.num_agents()[0]) <= 1 or n_feas == 0:
                 Logger.log(f"scene {di}: infeasible, skip")
@@ -318,7 +325,7 @@ def main(argv=None):
 
         # adversarial optimization
         tgt_prior = (prior[0][:, 0], prior[1][:, 0])
-        z_adv, final_traj, min_agt, min_t, _ = run_adv_gen_optim(
+        z_adv, final_traj, min_agt, min_t, _, internal_pred = run_adv_gen_optim(
             model, params, z_init, cfg.lr, loss_weights, scene, store,
             cfg.num_iters, emb, cfg.planner, tgt_prior, prior,
             cfg.feasibility_time, cfg.feasibility_infront_min,
@@ -390,6 +397,7 @@ def main(argv=None):
                     adv_z=np.asarray(z_adv[b, :n]),
                     sol_z=(sol_z_store[b][:n] if adv_ok[b] else None),
                     prior_distrib=(prior[0][b, :n], prior[1][b, :n]),
+                    internal_ego_traj=np.asarray(internal_pred[b, 0]),
                 )
                 save_scenario(outd, "scene_%04d" % batch_ids[b], out_dict)
             if cfg.viz:

@@ -34,7 +34,8 @@ class MapEncoder(nn.Module):
         for i, (k, s, f) in enumerate(zip(self.kernels, self.strides, self.filters)):
             x = nn.Conv(f, (k, k), strides=(s, s), padding="VALID",
                         name=f"conv{i}")(x)
-            x = nn.GroupNorm(num_groups=1, name=f"gn{i}")(x)
+            # epsilon matches torch nn.GroupNorm (1e-5) for ckpt conversion
+            x = nn.GroupNorm(num_groups=1, epsilon=1e-5, name=f"gn{i}")(x)
             x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
         return nn.Dense(self.feat_size, name="out")(x)

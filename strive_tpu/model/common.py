@@ -33,7 +33,8 @@ class MLP(nn.Module):
         act = (lambda v: nn.leaky_relu(v, 0.2)) if self.leaky else nn.relu
         x = nn.Dense(self.layers[0], name="fc0")(x)
         for i, width in enumerate(self.layers[1:], start=1):
-            x = nn.LayerNorm(name=f"ln{i}")(x)
+            # epsilon matches torch nn.LayerNorm (1e-5) for ckpt conversion
+            x = nn.LayerNorm(epsilon=1e-5, name=f"ln{i}")(x)
             x = act(x)
             x = nn.Dense(width, name=f"fc{i}")(x)
         return x

@@ -45,7 +45,9 @@ def run_adv_gen_optim(model, params, cur_z, lr, loss_weights, scene, map_store,
         or a host bridge).
     :param attack_agt_mask: optional (B, NA) fixed-attacker restriction
     :return: (final z (B,NA,D), final_result_traj (B,NA,FT,4) with the TRUE
-        planner at slot 0, min_agt (B,), min_t (B,), loss history)
+        planner at slot 0, min_agt (B,), min_t (B,), loss history,
+        internal_pred (B,NA,FT,4) — the model's own final decode, whose ego
+        slot is the internal planner prediction)
     """
     B, NA, D = cur_z.shape
     FT = future_len if future_len is not None else model.nfuture
@@ -135,7 +137,8 @@ def run_adv_gen_optim(model, params, cur_z, lr, loss_weights, scene, map_store,
         crash_min_infront=feasibility_infront_min,
         attack_agt_mask=attack_agt_mask,
     )
-    return z_final, final_result, adv_final["min_agt"], adv_final["min_t"], losses
+    return (z_final, final_result, adv_final["min_agt"], adv_final["min_t"],
+            losses, final_pred)
 
 
 def compute_adv_gen_success(final_result_traj, state_norm, att_norm, lw, mask,

@@ -54,7 +54,7 @@ def test_adv_gen_optim_open_loop(setup, embedded):
         "init_z": 0.5, "init_z_atk": 0.05, "match_ext": 10.0,
         "motion_prior_ext": 0.0001,
     }
-    zf, final, min_agt, min_t, losses = run_adv_gen_optim(
+    zf, final, min_agt, min_t, losses, _internal = run_adv_gen_optim(
         model, params, z0, 0.05, weights, scene, store, 4, embedded, "ego",
         (prior[0][:, 0], prior[1][:, 0]), prior, 0, None,
     )
