@@ -45,8 +45,32 @@ class SceneDataset:
     def __len__(self):
         return len(self.scenes)
 
+    def scene_dict(self, i):
+        return self.scenes[i]
+
     def get_batch(self, indices) -> SceneBatch:
-        return pad_scene_arrays([self.scenes[i] for i in indices],
+        return pad_scene_arrays([self.scene_dict(i) for i in indices],
+                                self.na_max, self.nc)
+
+
+class ConcatSceneDataset:
+    """Concatenate datasets exposing scene_dict(i) (same PT/FT/NC shapes)."""
+
+    def __init__(self, datasets):
+        self.datasets = [d for d in datasets if len(d) > 0]
+        self.na_max = self.datasets[0].na_max
+        self.nc = self.datasets[0].nc
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def scene_dict(self, i):
+        d = int(np.searchsorted(self._offsets, i, side="right")) - 1
+        return self.datasets[d].scene_dict(i - int(self._offsets[d]))
+
+    def get_batch(self, indices) -> SceneBatch:
+        return pad_scene_arrays([self.scene_dict(i) for i in indices],
                                 self.na_max, self.nc)
 
 

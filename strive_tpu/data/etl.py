@@ -140,7 +140,7 @@ class WindowedSceneDataset:
     def __init__(self, scenes, na_max, nc, past_len, future_len,
                  state_norm: MeanStdNormalizer, att_norm: MeanStdNormalizer,
                  seq_interval=1, noise_std=0.0, seed=0,
-                 require_full_past=False):
+                 require_full_past=False, include_final_window=False):
         self.scenes = scenes
         self.na_max = na_max
         self.nc = nc
@@ -152,14 +152,21 @@ class WindowedSceneDataset:
         self.require_full_past = require_full_past
         self.rng = np.random.default_rng(seed)
         seq_len = past_len + future_len
+        # reference windowing (nuscenes_dataset.py:586) EXCLUDES the final
+        # exact-length window; scenario re-ingestion needs it included
+        # because saved scenarios are exactly seq_len long (PARITY.md)
+        end_off = 1 if include_final_window else 0
         self.windows = []
         for si, sc in enumerate(scenes):
             T = sc["traj"].shape[1]
-            for start in range(0, T - seq_len, seq_interval):
+            for start in range(0, T - seq_len + end_off, seq_interval):
                 self.windows.append((si, start))
 
     def __len__(self):
         return len(self.windows)
+
+    def scene_dict(self, i):
+        return self.window_scene(i)
 
     def window_scene(self, wi):
         """Build one per-scene dict (normalized) for a window index."""

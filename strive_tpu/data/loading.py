@@ -48,11 +48,40 @@ def load_environment(cfg, split="train", load_lanegraph=False):
         if load_lanegraph:
             lg = synthetic_lanegraph(extent_m=128.0, spacing_m=32.0)
             lgs = {name: lg for name in store.map_names}
+        ds = _maybe_append_scenarios(ds, cfg, split, store, state_norm,
+                                     att_norm, nc)
         return ds, store, lgs, state_norm, att_norm
 
     # real nuScenes via ETL artifacts
     from .etl import load_etl_dataset
 
     etl_dir = os.path.join(cfg.data_dir, "strive_tpu_etl", cfg.data_version)
-    return load_etl_dataset(etl_dir, split, cfg, state_norm, att_norm,
-                            load_lanegraph=load_lanegraph)
+    ds, store, lgs, state_norm, att_norm = load_etl_dataset(
+        etl_dir, split, cfg, state_norm, att_norm,
+        load_lanegraph=load_lanegraph)
+    ds = _maybe_append_scenarios(ds, cfg, split, store, state_norm, att_norm,
+                                 nc)
+    return ds, store, lgs, state_norm, att_norm
+
+
+def _maybe_append_scenarios(ds, cfg, split, store, state_norm, att_norm, nc):
+    """Append saved adversarial scenarios to the training set
+    (reference ``--scenario_dir``, ``nuscenes_dataset.py:197-204``)."""
+    scen_dir = getattr(cfg, "scenario_dir", None)
+    if not scen_dir or split != "train" or not os.path.isdir(scen_dir):
+        return ds
+    from .etl import WindowedSceneDataset
+    from .dataset import ConcatSceneDataset
+    from .scenario_ingest import scenarios_as_scenes
+
+    raw = scenarios_as_scenes(scen_dir, list(store.map_names), nc)
+    if not raw:
+        return ds
+    extra = WindowedSceneDataset(
+        raw, cfg.max_agents, nc, cfg.past_len, cfg.future_len,
+        state_norm, att_norm, seq_interval=1,
+        noise_std=getattr(cfg, "data_noise_std", 0.0),
+        include_final_window=True,
+    )
+    print(f"Appended {len(extra)} scenario windows from {scen_dir}")
+    return ConcatSceneDataset([ds, extra])
