@@ -229,7 +229,7 @@ def load_etl_dataset(etl_dir, split, cfg, state_norm, att_norm,
     maps = np.load(os.path.join(etl_dir, "maps.npz"))
     store = MapStore(raster=jnp.asarray(maps["raster"]),
                      dx=jnp.asarray(maps["dx"]),
-                     map_names=tuple(meta["map_names"]))
+                     map_names=tuple(meta["map_names"])).with_packed()
     lgs = None
     if load_lanegraph:
         with open(os.path.join(etl_dir, "lane_graphs.pkl"), "rb") as f:

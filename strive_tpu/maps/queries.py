@@ -87,19 +87,27 @@ def _pixel_lookup(maps, dx, xys, mapixes):
     return jnp.take(maps.reshape(-1), flat_idx, mode="clip")
 
 
-def get_map_crop(raster, dx, pos, mapixes, bounds, L=256, W=256, dtype=jnp.float32):
+def get_map_crop(raster, dx, pos, mapixes, bounds, L=256, W=256,
+                 dtype=jnp.float32, packed=None, num_channels=None):
     """Oriented local map crop around each pose.
 
     :param raster: (M, C, H, W) uint8
     :param pos: (B, 4) UNNORMALIZED (x, y, hx, hy)
     :param mapixes: (B,) int
     :param bounds: [low_l, low_w, high_l, high_w] meters
+    :param packed: optional (M, H, W) uint8 bit-packed raster (bit c =
+        channel c). When given, one gather per pixel instead of C — the
+        crop gather is the rollout's dominant HBM traffic.
     :return: (B, C, L, W) in ``dtype``
 
     Matches reference ``get_map_obs`` (``nuscenes_utils.py:234-264``)
     including the nan-pose -> pixel(0,0) guard.
     """
-    Mm, C, H, Wp = raster.shape
+    if packed is not None:
+        Mm, H, Wp = packed.shape
+        C = num_channels if num_channels is not None else raster.shape[1]
+    else:
+        Mm, C, H, Wp = raster.shape
     xys = gen_car_coords(pos[:, :2], pos[:, 2:4], L, W, bounds=bounds)
     xys = jnp.where(jnp.isnan(xys), 0.0, xys)
 
@@ -109,10 +117,17 @@ def get_map_crop(raster, dx, pos, mapixes, bounds, L=256, W=256, dtype=jnp.float
     outside = (px < 0) | (px >= Wp) | (py < 0) | (py >= H)
     px = jnp.where(outside, 0, px)
     py = jnp.where(outside, 0, py)
+    spatial = py * Wp + px  # (B, L, W)
+
+    if packed is not None:
+        base = mapixes.astype(jnp.int32)[:, None, None] * (H * Wp)
+        bits = jnp.take(packed.reshape(-1), base + spatial, mode="clip")
+        shifts = jnp.arange(C, dtype=jnp.uint8)[None, :, None, None]
+        obs = (bits[:, None, :, :] >> shifts) & jnp.uint8(1)
+        return obs.astype(dtype)
 
     # gather all channels with one flat take: (B, L, W) spatial index shared
     # across channels, offset per (map, channel)
-    spatial = py * Wp + px  # (B, L, W)
     chan_base = (mapixes.astype(jnp.int32)[:, None] * C
                  + jnp.arange(C, dtype=jnp.int32)[None, :]) * (H * Wp)  # (B, C)
     flat_idx = chan_base[:, :, None, None] + spatial[:, None, :, :]

@@ -12,7 +12,7 @@ other requested layer gets its own channel in order.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -57,10 +57,16 @@ class MapStore:
     reference exactly (``nuscenes_utils.py:254``), world x is divided by
     ``dx[m, 0]`` and world y by ``dx[m, 1]`` — harmless because both entries
     are ~1/pix_per_m.
+
+    ``packed`` holds the channels bit-packed into one byte per pixel
+    (bit c = channel c). The per-rollout-step crop gather reads ``packed``
+    and unpacks on-chip — 1/C the HBM gather traffic of the (M, C, H, W)
+    layout, which dominates rollout time. Channel count must be <= 8.
     """
 
     raster: jnp.ndarray  # (M, C, H, W) uint8
     dx: jnp.ndarray      # (M, 2) float32
+    packed: Optional[jnp.ndarray] = None  # (M, H, W) uint8 bitfield
     map_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
 
     @property
@@ -74,6 +80,23 @@ class MapStore:
     def drivable(self):
         """(M, H, W) road layer (channel 0)."""
         return self.raster[:, 0]
+
+    def with_packed(self):
+        """Return a copy with the bit-packed raster populated."""
+        if self.packed is not None:
+            return self
+        return self.replace(packed=pack_raster(self.raster))
+
+
+def pack_raster(raster):
+    """(M, C, H, W) binary uint8 -> (M, H, W) uint8 bitfield."""
+    M, C, H, W = raster.shape
+    assert C <= 8, "bit-packing supports at most 8 channels"
+    shifts = jnp.asarray([1 << c for c in range(C)], jnp.uint8)
+    return jnp.sum(
+        raster.astype(jnp.uint8) * shifts[None, :, None, None], axis=1,
+        dtype=jnp.uint8,
+    )
 
 
 def synthetic_map_store(num_maps=2, size_px=512, channels=3, pix_per_m=4.0,
@@ -106,4 +129,5 @@ def synthetic_map_store(num_maps=2, size_px=512, channels=3, pix_per_m=4.0,
             rasters[m, c] = stripes & driv
     dx = np.full((num_maps, 2), 1.0 / pix_per_m, np.float32)
     names = tuple(f"synthetic-{i}" for i in range(num_maps))
-    return MapStore(raster=jnp.asarray(rasters), dx=jnp.asarray(dx), map_names=names)
+    return MapStore(raster=jnp.asarray(rasters), dx=jnp.asarray(dx),
+                    map_names=names).with_packed()

@@ -209,6 +209,7 @@ class TrafficModel(nn.Module):
         crop = get_map_crop(
             map_store.raster, map_store.dx, pos_unnorm, mapixes,
             self.map_bounds, L=self.map_obs_size_pix, W=self.map_obs_size_pix,
+            packed=map_store.packed,
         )
         feat = self.map_encoder(crop)
         return feat.reshape(B, NA, self.map_feat_size)
@@ -306,8 +307,11 @@ class TrafficModel(nn.Module):
               else jnp.zeros((FT, B, 4), z.dtype))
         consts = (sem, lw, z, veh_len, scene.mask, scene.map_idx, map_store)
 
+        # remat: recompute the step (map gather + CNN + GNN) in the backward
+        # pass instead of saving per-step conv activations across the scan —
+        # the saved-activation HBM traffic otherwise dominates optimization
         scan = nn.scan(
-            _make_decode_step(has_ext),
+            nn.remat(_make_decode_step(has_ext), prevent_cse=False),
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=(nn.broadcast, 0),
