@@ -39,6 +39,8 @@ def main():
     state_norm = state_normalizer_for(cats)
     att_norm = att_normalizer_for(cats)
     norm = NormConfig.from_normalizers(state_norm, att_norm)
+    # f32 compute measured faster than bf16 here: the rollout is gather/
+    # small-op bound, not MXU-bound, and bf16 adds cast traffic
     model = TrafficModel(npast=PT, nfuture=FT, map_obs_size_pix=256,
                          nclasses=2, norm=norm)
     store = synthetic_map_store(num_maps=2, size_px=2048, channels=4,

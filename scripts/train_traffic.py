@@ -37,6 +37,8 @@ def parse_cfg(argv=None):
     parser.add_argument("--loss_veh_coll_prior", type=float, default=0.05)
     parser.add_argument("--loss_env_coll_prior", type=float, default=0.1)
     parser.add_argument("--synth_scenes", type=int, default=24)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of one epoch here")
     return parser.parse(argv)
 
 
@@ -52,6 +54,7 @@ def build_model(cfg, state_norm, att_norm, nc):
         conv_kernels=tuple(cfg.conv_kernel_list),
         conv_strides=tuple(cfg.conv_stride_list),
         conv_filters=tuple(cfg.conv_filter_list),
+        compute_dtype="bfloat16" if getattr(cfg, "bf16", False) else None,
     )
 
 
@@ -60,6 +63,19 @@ def main(argv=None):
     mkdir(cfg.out)
     Logger.init(os.path.join(cfg.out, "train_log.txt"))
     Logger.log("Args: " + str(vars(cfg)))
+
+    wandb_run = None
+    if cfg.wandb_project is not None:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(
+                project=cfg.wandb_project, config=vars(cfg),
+                mode="offline" if cfg.wandb_offline else "online",
+                name=cfg.wandb_name,
+            )
+        except ImportError:
+            Logger.log("wandb requested but not installed; continuing without")
 
     train_ds, store, _, state_norm, att_norm = load_environment(cfg, "train")
     val_ds, _, _, _, _ = load_environment(cfg, "val")
@@ -93,6 +109,7 @@ def main(argv=None):
     ckpts = os.path.join(cfg.out, "checkpoints")
     mkdir(ckpts)
     use_anneal = cfg.kl_anneal_end is not None and cfg.kl_anneal_end > 0
+    step_counter = 0
     for epoch in range(ckpt_epoch, cfg.epochs):
         kl_w = (compute_kl_weight(epoch, cfg.kl_anneal_end, cfg.loss_kl)
                 if use_anneal else cfg.loss_kl)
@@ -101,17 +118,27 @@ def main(argv=None):
             min_eval_loss = float("inf")
         Logger.log(f"Epoch {epoch} (kl weight {kl_w:.6f})")
         key, k1 = jax.random.split(key)
-        m = trainer.run_epoch(
+        profiling = cfg.profile_dir is not None and epoch == ckpt_epoch + 1
+        if profiling:
+            jax.profiler.start_trace(cfg.profile_dir)
+        m, step_counter = trainer.run_epoch(
             batch_iterator(train_ds, cfg.batch_size, shuffle=True, seed=epoch),
             store, k1, kl_w, train=True, log_every=cfg.print_every,
+            wandb_run=wandb_run, step_counter=step_counter,
         )
+        if profiling:
+            jax.profiler.stop_trace()
+            Logger.log(f"  wrote profiler trace to {cfg.profile_dir}")
         Logger.log(f"  train loss {m['loss']:.4f} recon {m['recon_loss']:.4f} "
                    f"kl {m['kl_loss']:.4f} time {m['epoch_time']:.1f}s")
+        if wandb_run is not None:
+            wandb_run.log({f"Train Epoch Mean {k}": v for k, v in m.items()},
+                          step=step_counter)
         if epoch % cfg.val_every == 0:
             key, k2 = jax.random.split(key)
-            vm = trainer.run_epoch(
+            vm, step_counter = trainer.run_epoch(
                 batch_iterator(val_ds, cfg.batch_size, shuffle=False),
-                store, k2, kl_w, train=False,
+                store, k2, kl_w, train=False, step_counter=step_counter,
             )
             Logger.log(f"  val loss {vm['loss']:.4f}")
             if vm["loss"] < min_eval_loss:

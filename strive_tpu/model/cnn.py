@@ -11,8 +11,9 @@ and we transpose once on entry.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 
@@ -26,19 +27,24 @@ class MapEncoder(nn.Module):
     kernels: Sequence[int] = (7, 5, 5, 3, 3, 3)
     strides: Sequence[int] = (2, 2, 2, 2, 2, 2)
     filters: Sequence[int] = (16, 32, 64, 64, 128, 128)
+    dtype: Any = None  # compute dtype (bf16 for speed; params stay f32)
 
     @nn.compact
     def __call__(self, crop):
-        """:param crop: (B, C, H, W) float map crop; :return: (B, feat_size)."""
+        """:param crop: (B, C, H, W) float map crop; :return: (B, feat_size)
+        in float32."""
         x = crop.transpose(0, 2, 3, 1)  # NHWC
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for i, (k, s, f) in enumerate(zip(self.kernels, self.strides, self.filters)):
             x = nn.Conv(f, (k, k), strides=(s, s), padding="VALID",
-                        name=f"conv{i}")(x)
+                        dtype=self.dtype, name=f"conv{i}")(x)
             # epsilon matches torch nn.GroupNorm (1e-5) for ckpt conversion
-            x = nn.GroupNorm(num_groups=1, epsilon=1e-5, name=f"gn{i}")(x)
+            x = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype,
+                             name=f"gn{i}")(x)
             x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
-        return nn.Dense(self.feat_size, name="out")(x)
+        return nn.Dense(self.feat_size, name="out")(x).astype(jnp.float32)
 
     @staticmethod
     def flat_size(map_px, kernels=(7, 5, 5, 3, 3, 3), strides=(2,) * 6,

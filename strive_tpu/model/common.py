@@ -11,7 +11,7 @@ out identically.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -23,20 +23,22 @@ class MLP(nn.Module):
     :param layers: output widths (excluding input width), e.g. the reference
         MLP([in, 128, 128, out]) becomes MLP(layers=(128, 128, out)).
     :param leaky: use LeakyReLU(0.2) instead of ReLU.
+    :param dtype: compute dtype (params stay float32).
     """
 
     layers: Sequence[int]
     leaky: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         act = (lambda v: nn.leaky_relu(v, 0.2)) if self.leaky else nn.relu
-        x = nn.Dense(self.layers[0], name="fc0")(x)
+        x = nn.Dense(self.layers[0], dtype=self.dtype, name="fc0")(x)
         for i, width in enumerate(self.layers[1:], start=1):
             # epsilon matches torch nn.LayerNorm (1e-5) for ckpt conversion
-            x = nn.LayerNorm(epsilon=1e-5, name=f"ln{i}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ln{i}")(x)
             x = act(x)
-            x = nn.Dense(width, name=f"fc{i}")(x)
+            x = nn.Dense(width, dtype=self.dtype, name=f"fc{i}")(x)
         return x
 
 

@@ -22,6 +22,8 @@ reference TrafficModel) are intentionally not implemented.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -32,6 +34,7 @@ from .common import MLP
 class AgentInteractionConv(nn.Module):
     out_channels: int
     hidden_size: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, pos, sem, mask):
@@ -52,7 +55,7 @@ class AgentInteractionConv(nn.Module):
         semj = jnp.broadcast_to(sem[:, None, :, :], (B, NA, NA, sem.shape[-1]))
         msg_in = jnp.concatenate([xi, xj, semi, semj, rel], axis=-1)
         msgs = MLP((self.hidden_size, self.hidden_size, self.out_channels),
-                   name="edge_mlp")(msg_in)  # (B, NA, NA, out)
+                   dtype=self.dtype, name="edge_mlp")(msg_in)  # (B,NA,NA,out)
 
         pair_valid = (mask[:, :, None] & mask[:, None, :]
                       & ~jnp.eye(NA, dtype=bool)[None])  # (B, NA, NA)
@@ -63,18 +66,24 @@ class AgentInteractionConv(nn.Module):
         aggr = jnp.where(has_neighbor, aggr, 0.0)
 
         upd_in = jnp.concatenate([x, aggr, sem], axis=-1)
-        return MLP((self.hidden_size, self.out_channels), name="update_mlp")(upd_in)
+        out = MLP((self.hidden_size, self.out_channels), dtype=self.dtype,
+                  name="update_mlp")(upd_in)
+        return out.astype(jnp.float32)
 
 
 class SceneInteractionNet(nn.Module):
     msg_node_channels: int
     out_channels: int
     k: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, pos, sem, mask):
-        x = MLP((128, 128, self.msg_node_channels), name="mlp_in")(x)
+        x = MLP((128, 128, self.msg_node_channels), dtype=self.dtype,
+                name="mlp_in")(x)
         for ki in range(self.k):
-            x = AgentInteractionConv(self.msg_node_channels,
+            x = AgentInteractionConv(self.msg_node_channels, dtype=self.dtype,
                                      name=f"conv{ki}")(x, pos, sem, mask)
-        return MLP((128, 128, self.out_channels), name="mlp_out")(x)
+        out = MLP((128, 128, self.out_channels), dtype=self.dtype,
+                  name="mlp_out")(x)
+        return out.astype(jnp.float32)

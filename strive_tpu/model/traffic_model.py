@@ -142,12 +142,14 @@ class TrafficModel(nn.Module):
     conv_strides: Tuple[int, ...] = (2, 2, 2, 2, 2, 2)
     conv_filters: Tuple[int, ...] = (16, 32, 64, 64, 128, 128)
     num_memory_layers: int = 3
+    compute_dtype: Optional[str] = None  # 'bfloat16' for speed; None = f32
 
     # ---- setup ----------------------------------------------------------
     def setup(self):
+        cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         self.map_encoder = MapEncoder(
             self.map_feat_size, self.conv_kernels, self.conv_strides,
-            self.conv_filters, name="map_encoder",
+            self.conv_filters, dtype=cdt, name="map_encoder",
         )
         if self.traj_encoder == "mlp":
             self.past_encoder = MLP((128, 128, 128, self.past_feat_size),
@@ -168,8 +170,9 @@ class TrafficModel(nn.Module):
         self.posterior_net = SceneInteractionNet(msg, 2 * self.latent_size,
                                                  name="posterior_net")
         self.traj_out_size = 2 if self.output_bicycle else 4
+        # decoder GNN runs every rollout step — gets the fast dtype too
         self.decoder_net = SceneInteractionNet(64, self.traj_out_size,
-                                               name="decoder_net")
+                                               dtype=cdt, name="decoder_net")
         self.decoder_memory = StackedGRU(self.past_feat_size,
                                          self.num_memory_layers,
                                          name="decoder_memory")
@@ -230,17 +233,15 @@ class TrafficModel(nn.Module):
         if encoder_mlp is not None:
             flat = jnp.concatenate([enc_in.reshape(B, NA, T * 9), sem], axis=-1)
             return encoder_mlp(flat)
-        # GRU path: scan over time, take last output
+        # GRU path: unrolled over the (short, static) time axis — plain
+        # lax.scan can't lift linen submodules, and T <= 16 here
         hs = jnp.zeros((4, B, NA, 128), enc_in.dtype)
         sem_t = jnp.broadcast_to(sem[:, :, None, :], (B, NA, T, sem.shape[-1]))
         xs = jnp.concatenate([enc_in, sem_t], axis=-1)
-
-        def step(h, x_t):
-            out, h = encoder_gru(x_t, h)
-            return h, out
-
-        _, outs = jax.lax.scan(step, hs, jnp.moveaxis(xs, 2, 0))
-        return encoder_out(outs[-1])
+        out = None
+        for t in range(T):
+            out, hs = encoder_gru(xs[:, :, t], hs)
+        return encoder_out(out)
 
     def encode_past(self, scene: SceneBatch):
         frame = scene.past[:, :, -1, :4]

@@ -103,8 +103,12 @@ class Trainer:
         )
 
     def run_epoch(self, batches, map_store, rng, kl_weight, train=True,
-                  log_every=0):
-        """Run one epoch; returns dict of mean metrics."""
+                  log_every=0, wandb_run=None, step_counter=0):
+        """Run one epoch; returns (dict of mean metrics, step_counter).
+
+        Bad batches are skipped instead of killing the epoch (the
+        reference's RuntimeError batch-skip, ``train_traffic.py:120-131``).
+        """
         step_fn = self._train_step if train else self._eval_step
         agg = {}
         n = 0
@@ -112,18 +116,28 @@ class Trainer:
         t0 = time.time()
         for i, scene in enumerate(batches):
             rng, sub = jax.random.split(rng)
-            scene = shard_batch(scene, self.mesh)
-            self.state, metrics = step_fn(self.state, scene, map_store, sub,
-                                          kl_w)
+            try:
+                scene = shard_batch(scene, self.mesh)
+                self.state, metrics = step_fn(self.state, scene, map_store,
+                                              sub, kl_w)
+                loss_val = float(metrics["loss"])
+            except Exception as e:  # skip bad batches, keep training
+                Logger.log(f"  caught error in batch {i}: {e}; skipping")
+                continue
             n += 1
+            step_counter += int(scene.B)
             for k, v in metrics.items():
                 if isinstance(v, jnp.ndarray) and v.ndim == 0:
                     agg.setdefault(k, 0.0)
             if log_every and (i + 1) % log_every == 0:
-                Logger.log(f"  batch {i + 1}: loss="
-                           f"{float(metrics['loss']):.4f}")
+                Logger.log(f"  batch {i + 1}: loss={loss_val:.4f}")
             for k in agg:
                 agg[k] += float(metrics[k])
+            if wandb_run is not None and train:
+                wandb_run.log(
+                    {f"Train Batch Mean {k}": float(metrics[k]) for k in agg},
+                    step=step_counter,
+                )
         out = {k: v / max(n, 1) for k, v in agg.items()}
         out["epoch_time"] = time.time() - t0
-        return out
+        return out, step_counter
