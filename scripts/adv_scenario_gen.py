@@ -8,8 +8,9 @@ success check -> solution optimization -> save scenario JSONs into the
 
 TPU-native differences: scenes are batched as fixed-shape padded arrays
 (batch_size = number of scenes, not ΣNA), every optimization loop is one
-jit-compiled Adam scan, and the closed-loop planner runs through an
-io_callback host bridge once per iteration.
+jit-compiled Adam scan, and the closed-loop planner re-rolls on the host
+between jitted chunks (reference-exact at the default refresh of 1
+iteration; see strive_tpu.optim.adv).
 """
 
 import json
@@ -35,7 +36,7 @@ from strive_tpu.optim import (
     run_init_optim,
 )
 from strive_tpu.planners import PLANNER_CONFIGS, PlannerConfig, RulePlanner
-from strive_tpu.planners.host_bridge import make_planner_rollout_fn
+from strive_tpu.planners.host_bridge import make_planner_host_fn
 from strive_tpu.utils.checkpoint import load_state
 from strive_tpu.utils.config import add_base_args, get_parser
 from strive_tpu.utils.logger import Logger, mkdir
@@ -252,9 +253,9 @@ def main(argv=None):
             planner.reset(np.concatenate(flat_states),
                           np.concatenate(flat_lw), np.array(batch_of), B,
                           np.asarray(scene.map_idx))
-            planner_fn = make_planner_rollout_fn(planner, scene.mask,
-                                                 state_norm, dt,
-                                                 cfg.future_len)
+            planner_fn = make_planner_host_fn(planner, scene.mask,
+                                              state_norm, dt,
+                                              cfg.future_len)
             # roll planner on the fitted scene, replace ego target, refine
             planner_init = planner_fn(init_fit)
             init_traj_np = np.array(np.asarray(init_traj))
@@ -306,9 +307,9 @@ def main(argv=None):
                 planner.reset(np.concatenate(flat_states),
                               np.concatenate(flat_lw), np.array(batch_of), B,
                               np.asarray(scene.map_idx))
-                planner_fn = make_planner_rollout_fn(planner, scene.mask,
-                                                     state_norm, dt,
-                                                     cfg.future_len)
+                planner_fn = make_planner_host_fn(planner, scene.mask,
+                                                  state_norm, dt,
+                                                  cfg.future_len)
                 planner_init = planner_fn(init_fit)
                 init_traj_np = np.array(np.asarray(init_traj))
                 init_traj_np[:, 0, :, :4] = np.asarray(planner_init)

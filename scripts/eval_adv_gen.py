@@ -148,11 +148,20 @@ def main(argv=None):
             clustering = pickle.load(f)
 
     if cfg.eval_quant:
+        from cluster_scenarios import compute_coll_feat
+
         rows, names = [], []
         for t in taxonomy:
             for sc in all_scenes[t]:
                 m = scenario_metrics(sc, sc.get("dt", 0.5))
                 m["taxonomy"] = t
+                if clustering is not None:
+                    f = compute_coll_feat(np.asarray(sc["veh_att"]),
+                                          np.asarray(sc["scene_fut"]),
+                                          sc.get("dt", 0.5))
+                    if f is not None:
+                        X = np.array(f["angvec"] + f["hvec"])[None]
+                        m["cluster_label"] = int(clustering.predict(X)[0])
                 rows.append(m)
                 names.append(f"{t}/{sc['name']}")
         csv_path = os.path.join(cfg.out, "per_seq_results.csv")

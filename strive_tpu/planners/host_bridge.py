@@ -1,11 +1,16 @@
-"""Host-callback bridge: run the rule-based planner inside jitted loops.
+"""Host bridge: run the rule-based planner against device trajectories.
 
 The closed-loop adversarial optimization re-rolls the planner every Adam
 iteration on the current (detached) non-ego trajectories (reference
-``adv_gen_optim.py:133-139``). The planner is host numpy; we cross the
-device boundary with ``jax.experimental.io_callback`` — exactly one
-host round trip per iteration, mirroring the reference's .cpu().numpy()
-hop, while everything else stays compiled on the TPU.
+``adv_gen_optim.py:133-139``). The planner is host numpy; two bridges:
+
+- ``make_planner_host_fn``: a plain python function (device array in,
+  jnp array out). The chunked closed-loop driver calls it between jitted
+  optimization chunks — works on every runtime.
+- ``wrap_io_callback``: wraps the host fn in ``jax.experimental.io_callback``
+  so it can be traced INSIDE a jitted loop — one host hop per iteration
+  with zero python dispatch overhead. Not supported by every PJRT runtime
+  (e.g. the axon tunnel); the drivers default to the chunked mode.
 """
 
 from __future__ import annotations
@@ -16,12 +21,11 @@ import numpy as np
 from jax.experimental import io_callback
 
 
-def make_planner_rollout_fn(planner, scene_mask, state_norm, dt, future_len):
-    """Build ``fn(future_pred_norm (B, NA, FT, 4)) -> (B, FT, 4) norm``.
+def make_planner_host_fn(planner, scene_mask, state_norm, dt, future_len):
+    """Build ``fn(future_pred_norm (B, NA, FT, 4)) -> (B, FT, 4)`` NORMALIZED.
 
-    ``planner.reset(...)`` must already have been called. The callback
-    unnormalizes, strips ego + padding, rolls the planner per scene, and
-    re-normalizes. Safe to call inside jit.
+    ``planner.reset(...)`` must already have been called. Unnormalizes,
+    strips ego + padding, rolls the planner per scene, re-normalizes.
     """
     mask_np = np.asarray(scene_mask)
     B, NA = mask_np.shape
@@ -42,6 +46,12 @@ def make_planner_rollout_fn(planner, scene_mask, state_norm, dt, future_len):
         out = planner.rollout(nonego, plan_t, agent_ptr, plan_t)  # (B, FT, 4)
         return ((out - smean) / sstd).astype(np.float32)
 
+    return host_fn
+
+
+def wrap_io_callback(host_fn, B, future_len):
+    """Make ``host_fn`` callable inside jit (runtime permitting)."""
+
     def fn(future_pred_norm):
         return io_callback(
             host_fn,
@@ -50,3 +60,11 @@ def make_planner_rollout_fn(planner, scene_mask, state_norm, dt, future_len):
         )
 
     return fn
+
+
+# kept for backward compatibility with earlier call sites
+def make_planner_rollout_fn(planner, scene_mask, state_norm, dt, future_len):
+    host_fn = make_planner_host_fn(planner, scene_mask, state_norm, dt,
+                                   future_len)
+    B = np.asarray(scene_mask).shape[0]
+    return wrap_io_callback(host_fn, B, future_len)
