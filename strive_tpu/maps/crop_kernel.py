@@ -26,8 +26,6 @@ gather path. Re-enable by flipping KERNEL_AVAILABLE when the toolchain's
 gather lowering works (tests/test_crop_kernel.py validates bit-exactness).
 """
 
-KERNEL_AVAILABLE = False  # Mosaic dynamic-gather broken in this toolchain
-
 from __future__ import annotations
 
 import jax
@@ -36,6 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .queries import gen_car_coords
+
+KERNEL_AVAILABLE = False  # Mosaic dynamic-gather broken in this toolchain
 
 WIN_R = 512   # window rows (>= 436 bbox + 31 align slack)
 WIN_C = 640   # window cols (>= 436 bbox + 127 align slack)
