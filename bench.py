@@ -15,6 +15,7 @@ measurement lands. See BASELINE.md "Estimated reference throughput".
 """
 
 import json
+import os
 import sys
 import time
 
@@ -40,9 +41,13 @@ def main():
     att_norm = att_normalizer_for(cats)
     norm = NormConfig.from_normalizers(state_norm, att_norm)
     # f32 compute measured faster than bf16 here: the rollout is gather/
-    # small-op bound, not MXU-bound, and bf16 adds cast traffic
+    # small-op bound, not MXU-bound, and bf16 adds cast traffic.
+    # STRIVE_MAP_REFRESH=k re-encodes the map crop every k rollout steps
+    # (PERF.md knob; 1 = reference-faithful, the headline setting).
+    map_refresh = int(os.environ.get("STRIVE_MAP_REFRESH", "1"))
     model = TrafficModel(npast=PT, nfuture=FT, map_obs_size_pix=256,
-                         nclasses=2, norm=norm)
+                         nclasses=2, norm=norm,
+                         map_refresh_every=map_refresh)
     store = synthetic_map_store(num_maps=2, size_px=2048, channels=4,
                                 pix_per_m=4.0)
     scenes = synthetic_scene_list(num_scenes=B, num_maps=2, map_size_px=2048,

@@ -59,8 +59,8 @@ def rsample(key, mean, var):
     return mean + eps * jnp.sqrt(var)
 
 
-def _make_decode_step(has_ext: bool):
-    """One autoregressive rollout step, lifted through nn.scan.
+def _decode_substep(mdl, carry, consts, ext_t, has_ext, do_map_encode):
+    """One autoregressive rollout step.
 
     Mirrors the body of the reference decoder loop
     (``traffic_model.py:626-698``). ``has_ext`` statically selects the
@@ -69,57 +69,79 @@ def _make_decode_step(has_ext: bool):
     step's GNN pose, map crop and GRU-memory input see the external future.
     In bicycle mode the internal bicycle state intentionally keeps the
     model's own rollout (reference :679-680 uses cur_bike_state, which is
-    never overwritten by ext_future).
+    never overwritten by ext_future). ``do_map_encode`` statically skips
+    the per-step map re-encode (the map_refresh_every knob).
     """
+    sem, lw, z, veh_len, mask, map_idx, map_store = consts
+    prev_state, mem, cur_past_feat, pos, cur_map_feat = carry
+    B, NA = sem.shape[:2]
 
-    def step(mdl, carry, consts, ext_t):
-        sem, lw, z, veh_len, mask, map_idx, map_store = consts
-        prev_state, mem, cur_past_feat, pos, cur_map_feat = carry
-        B, NA = sem.shape[:2]
+    dec_in = jnp.concatenate([cur_past_feat, cur_map_feat, sem, z, lw],
+                             axis=-1)
+    dec_out = mdl.decoder_net(dec_in, pos, sem, mask)  # (B, NA, 2|4)
 
-        dec_in = jnp.concatenate([cur_past_feat, cur_map_feat, sem, z, lw],
-                                 axis=-1)
-        dec_out = mdl.decoder_net(dec_in, pos, sem, mask)  # (B, NA, 2|4)
+    if mdl.output_bicycle:
+        init_state = mdl.state_unnorm(prev_state)
+        new_bike = bike_step(init_state, dec_out[..., 0], dec_out[..., 1],
+                             veh_len, mdl.bike)
+        cur_bike_state = mdl.state_norm_(new_bike)
+        cur_global = cur_bike_state[..., :4]
+        cur_local = transform2frame(
+            prev_state[..., :4].reshape(B * NA, 4),
+            cur_global.reshape(B * NA, 1, 4),
+        )[:, 0].reshape(B, NA, 4)
+        next_prev = cur_bike_state
+    else:
+        cur_local = normalize_heading(dec_out)
+        cur_global = transform2frame(
+            prev_state[..., :4].reshape(B * NA, 4),
+            cur_local.reshape(B * NA, 1, 4),
+            inverse=True,
+        )[:, 0].reshape(B, NA, 4)
+        next_prev = cur_global
 
-        if mdl.output_bicycle:
-            init_state = mdl.state_unnorm(prev_state)
-            new_bike = bike_step(init_state, dec_out[..., 0], dec_out[..., 1],
-                                 veh_len, mdl.bike)
-            cur_bike_state = mdl.state_norm_(new_bike)
-            cur_global = cur_bike_state[..., :4]
-            cur_local = transform2frame(
-                prev_state[..., :4].reshape(B * NA, 4),
-                cur_global.reshape(B * NA, 1, 4),
-            )[:, 0].reshape(B, NA, 4)
-            next_prev = cur_bike_state
-        else:
-            cur_local = normalize_heading(dec_out)
-            cur_global = transform2frame(
-                prev_state[..., :4].reshape(B * NA, 4),
-                cur_local.reshape(B * NA, 1, 4),
-                inverse=True,
-            )[:, 0].reshape(B, NA, 4)
+    out_t = cur_global  # recorded BEFORE external injection
+
+    if has_ext:
+        inj_local_ego = transform2frame(
+            prev_state[:, 0, :4], ext_t[:, None]
+        )[:, 0]
+        cur_global = cur_global.at[:, 0].set(ext_t)
+        cur_local = cur_local.at[:, 0].set(inj_local_ego)
+        if not mdl.output_bicycle:
             next_prev = cur_global
 
-        out_t = cur_global  # recorded BEFORE external injection
-
-        if has_ext:
-            inj_local_ego = transform2frame(
-                prev_state[:, 0, :4], ext_t[:, None]
-            )[:, 0]
-            cur_global = cur_global.at[:, 0].set(ext_t)
-            cur_local = cur_local.at[:, 0].set(inj_local_ego)
-            if not mdl.output_bicycle:
-                next_prev = cur_global
-
-        # memory update (reference :684-691)
-        new_past_feat, new_mem = mdl.decoder_memory(cur_local, mem)
+    # memory update (reference :684-691)
+    new_past_feat, new_mem = mdl.decoder_memory(cur_local, mem)
+    if do_map_encode:
         # re-encode map at detached new position (reference :694-695)
         new_map_feat = mdl.encode_map(
             jax.lax.stop_gradient(cur_global), map_idx, map_store
         )
-        return (next_prev, new_mem, new_past_feat, cur_global,
-                new_map_feat), out_t
+    else:
+        new_map_feat = cur_map_feat
+    return (next_prev, new_mem, new_past_feat, cur_global,
+            new_map_feat), out_t
+
+
+def _make_decode_step(has_ext: bool, substeps: int = 1):
+    """Scan body: ``substeps`` rollout steps with ONE map re-encode.
+
+    substeps=1 is the reference behavior (map re-encoded every step); k>1
+    is the map_refresh_every performance knob (PERF.md) — the crop gather
+    dominates rollout time and refreshing every k-th step divides it by k.
+    """
+
+    def step(mdl, carry, consts, ext_ts):
+        outs = []
+        for s in range(substeps):
+            ext_t = ext_ts[s] if has_ext else ext_ts
+            carry, out_t = _decode_substep(
+                mdl, carry, consts, ext_t, has_ext,
+                do_map_encode=(s == substeps - 1),
+            )
+            outs.append(out_t)
+        return carry, jnp.stack(outs, axis=0)
 
     return step
 
@@ -143,6 +165,7 @@ class TrafficModel(nn.Module):
     conv_filters: Tuple[int, ...] = (16, 32, 64, 64, 128, 128)
     num_memory_layers: int = 3
     compute_dtype: Optional[str] = None  # 'bfloat16' for speed; None = f32
+    map_refresh_every: int = 1  # re-encode the map crop every k steps (PERF.md)
 
     # ---- setup ----------------------------------------------------------
     def setup(self):
@@ -304,21 +327,29 @@ class TrafficModel(nn.Module):
         carry0 = (prev_state0, mem0, past_feat, pos0, map_feat)
 
         has_ext = ext_future is not None
-        xs = (jnp.moveaxis(ext_future, 1, 0) if has_ext
-              else jnp.zeros((FT, B, 4), z.dtype))
+        k = self.map_refresh_every
+        if k > 1 and FT % k != 0:
+            k = 1  # fall back to per-step refresh when k doesn't divide FT
+        n_super = FT // k
+        if has_ext:
+            # (FT, B, 4) -> (n_super, k, B, 4)
+            xs = jnp.moveaxis(ext_future, 1, 0).reshape(n_super, k, B, 4)
+        else:
+            xs = jnp.zeros((n_super, 1), z.dtype)
         consts = (sem, lw, z, veh_len, scene.mask, scene.map_idx, map_store)
 
         # remat: recompute the step (map gather + CNN + GNN) in the backward
         # pass instead of saving per-step conv activations across the scan —
         # the saved-activation HBM traffic otherwise dominates optimization
         scan = nn.scan(
-            nn.remat(_make_decode_step(has_ext), prevent_cse=False),
+            nn.remat(_make_decode_step(has_ext, k), prevent_cse=False),
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=(nn.broadcast, 0),
             out_axes=0,
         )
-        _, traj = scan(self, carry0, consts, xs)
+        _, traj = scan(self, carry0, consts, xs)  # (n_super, k, B, NA, 4)
+        traj = traj.reshape(FT, B, NA, 4)
         return jnp.moveaxis(traj, 0, 2)  # (B, NA, FT, 4)
 
     # ---- public API (mirrors reference method set) ------------------------

@@ -1,0 +1,131 @@
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from strive_tpu.data.dataset import ConcatSceneDataset, SceneDataset, batch_iterator
+from strive_tpu.data.scenario_json import (
+    prepare_output_dict,
+    read_adv_scenes,
+    save_scenario,
+)
+from strive_tpu.data.scenario_ingest import scenarios_as_scenes
+from strive_tpu.data.synthetic import synthetic_scene_list
+from strive_tpu.data.etl import (
+    WindowedSceneDataset,
+    heading_change_rate,
+    split_scene_names,
+    velocity,
+)
+from strive_tpu.normalize import att_normalizer_for, state_normalizer_for
+
+CATS = ("car", "truck")
+
+
+def test_scenario_json_roundtrip(tmp_path):
+    """The output dict uses the exact reference schema and reads back."""
+    state_norm = state_normalizer_for(CATS)
+    att_norm = att_normalizer_for(CATS)
+    na, PT, FT = 3, 4, 6
+    rng = np.random.default_rng(0)
+    sc = {
+        "past_gt": rng.normal(size=(na, PT, 6)).astype(np.float32),
+        "lw": rng.normal(size=(na, 2)).astype(np.float32),
+        "sem": np.eye(2, dtype=np.float32)[rng.integers(0, 2, na)],
+    }
+    init_fut = rng.normal(size=(na, FT, 4)).astype(np.float32)
+    adv_fut = rng.normal(size=(na, FT, 4)).astype(np.float32)
+    out = prepare_output_dict(
+        sc, 0, ("boston-seaport",), 0.5, state_norm, att_norm, init_fut,
+        adv_fut, sol_fut_traj=adv_fut, attack_agt=2, attack_t=3,
+        adv_z=np.zeros((na, 8)), sol_z=np.zeros((na, 8)),
+        prior_distrib=(np.zeros((na, 8)), np.ones((na, 8))),
+        internal_ego_traj=init_fut[0],
+    )
+    # exact reference key set (utils/scenario_gen.py:189-254)
+    assert set(out.keys()) == {
+        "N", "dt", "map", "lw", "sem", "past", "fut_init", "fut_adv",
+        "fut_internal_ego", "fut_sol", "attack_agt", "attack_t", "z_adv",
+        "z_sol", "z_prior",
+    }
+    assert out["N"] == na and out["map"] == "boston-seaport"
+    path = save_scenario(str(tmp_path), "scene_0000", out)
+    assert json.load(open(path))["attack_agt"] == 2
+
+    scenes = read_adv_scenes(str(tmp_path))
+    assert len(scenes) == 1
+    s = scenes[0]
+    np.testing.assert_allclose(
+        s["scene_past"], np.asarray(state_norm.unnormalize(sc["past_gt"])),
+        rtol=1e-5, atol=1e-4,
+    )
+    assert s["scene_fut"].shape == (na, FT, 4)
+    assert s["attack_t"] == 3
+
+    # and it re-ingests as training data
+    raw = scenarios_as_scenes(str(tmp_path), ["boston-seaport"], 2)
+    assert len(raw) == 1
+    assert raw[0]["traj"].shape == (na, PT + FT, 6)
+
+
+def test_batch_iterator_fixed_shapes():
+    scenes = synthetic_scene_list(num_scenes=5, PT=4, FT=6, max_agents=6)
+    ds = SceneDataset(scenes, 6, 2)
+    batches = list(batch_iterator(ds, 2, shuffle=True, seed=0))
+    assert len(batches) == 3
+    for b in batches:
+        assert b.B == 2 and b.NA == 6
+    # tail batch has its padding scene fully masked
+    assert not bool(np.asarray(batches[-1].mask)[1].any())
+
+
+def test_concat_and_windowed_dataset():
+    state_norm = state_normalizer_for(CATS)
+    att_norm = att_normalizer_for(CATS)
+    scenes = synthetic_scene_list(num_scenes=3, PT=4, FT=6, max_agents=6)
+    ds1 = SceneDataset(scenes, 6, 2)
+    rng = np.random.default_rng(0)
+    raw = [{
+        "traj": rng.normal(size=(3, 12, 6)).astype(np.float32),
+        "vis": np.ones((3, 12), np.float32),
+        "lw": np.abs(rng.normal(size=(3, 2))).astype(np.float32) + 2,
+        "sem": np.eye(2, dtype=np.float32)[[0, 1, 0]],
+        "map_idx": 0, "name": "w0",
+    }]
+    ds2 = WindowedSceneDataset(raw, 6, 2, 4, 6, state_norm, att_norm,
+                               seq_interval=1)
+    assert len(ds2) == 2  # T=12, seq_len=10, exclusive windowing
+    cat = ConcatSceneDataset([ds1, ds2])
+    assert len(cat) == 5
+    batch = cat.get_batch([0, 4])  # one from each source
+    assert batch.B == 2 and batch.past.shape[2] == 4
+
+
+def test_trim_keeps_ego_and_neighbors():
+    scenes = synthetic_scene_list(num_scenes=1, PT=4, FT=6, min_agents=8,
+                                  max_agents=8)
+    ds = SceneDataset(scenes, 4, 2)
+    batch = ds.get_batch([0])
+    assert batch.NA == 4
+    assert int(batch.num_agents()[0]) == 4
+
+
+def test_velocity_finite_diff_nan_handling():
+    t = np.arange(5) * 0.5
+    pos = np.array([[0, 0], [1, 0], [np.nan, np.nan], [3, 0], [4, 0]],
+                   dtype=float)
+    v = velocity(pos, t)
+    # leading frame uses forward diff; frame after nan uses forward diff
+    np.testing.assert_allclose(v[0], [2, 0])
+    assert np.isnan(v[2]).all()
+    np.testing.assert_allclose(v[3], v[4])  # nan->value transition fwd diff
+
+
+def test_split_scene_names():
+    names = ["scene-%04d" % i for i in range(700)]
+    tr = split_scene_names(names, "train", "trainval", 400, randomize_val=True)
+    va = split_scene_names(names, "val", "trainval", 400, randomize_val=True)
+    assert len(tr) + len(va) == 700
+    assert len(va) == 400
+    assert not set(tr) & set(va)

@@ -54,6 +54,27 @@ def test_gru_traj_encoder_variant(rng):
     assert np.all(np.isfinite(np.asarray(out["future_pred"])))
 
 
+def test_map_refresh_every(rng):
+    """k>1 runs, shares step 0 with the reference path, stays finite."""
+    scene = make_scene(rng)
+    base = tiny_model(FT=scene.FT, PT=scene.PT)
+    kw = {f: getattr(base, f) for f in (
+        "npast", "nfuture", "map_obs_size_pix", "nclasses", "norm",
+        "map_bounds", "conv_kernels", "conv_strides", "conv_filters")}
+    m1 = TrafficModel(**kw)
+    m2 = TrafficModel(**kw, map_refresh_every=2)
+    store = tiny_store()
+    key = jax.random.PRNGKey(0)
+    params = m1.init(key, scene, store, key, method="forward")
+    o1 = m1.apply(params, scene, store, key, use_post_mean=True,
+                  method="forward")
+    o2 = m2.apply(params, scene, store, key, use_post_mean=True,
+                  method="forward")
+    a, b = np.asarray(o1["future_pred"]), np.asarray(o2["future_pred"])
+    np.testing.assert_allclose(a[:, :, 0], b[:, :, 0], atol=1e-5)
+    assert np.all(np.isfinite(b))
+
+
 def test_bf16_compute_mode(rng):
     """bf16 compute dtype runs and stays close to the f32 path."""
     scene = make_scene(rng)
