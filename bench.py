@@ -35,7 +35,9 @@ def main():
     from strive_tpu.scene import pad_scene_arrays
     from strive_tpu.optim.adv import run_adv_gen_optim
 
-    B, NA, PT, FT = 4, 8, 4, 12
+    B = int(os.environ.get("STRIVE_BENCH_B", "4"))
+    NA = int(os.environ.get("STRIVE_BENCH_NA", "8"))
+    PT, FT = 4, 12
     cats = ("car", "truck")
     state_norm = state_normalizer_for(cats)
     att_norm = att_normalizer_for(cats)
@@ -102,7 +104,7 @@ def main():
     print(json.dumps({
         "metric": "adv_latent_optim_iters_per_sec",
         "value": round(iters_per_sec, 3),
-        "unit": "iters/sec (B=4 scenes x NA=8, FT=12, 256px crops)",
+        "unit": f"iters/sec (B={B} scenes x NA={NA}, FT=12, 256px crops)",
         "vs_baseline": round(iters_per_sec / EST_REFERENCE_ITERS_PER_SEC, 2),
     }))
 
