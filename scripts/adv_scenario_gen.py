@@ -13,7 +13,6 @@ between jitted chunks (reference-exact at the default refresh of 1
 iteration; see strive_tpu.optim.adv).
 """
 
-import json
 import os
 import sys
 import time
@@ -94,11 +93,6 @@ def parse_cfg(argv=None):
                         help="cap on candidate scenes (for smoke runs)")
     parser.add_argument("--ref_compat", action="store_true", default=True)
     return parser.parse(argv)
-
-
-def scene_slice(scene, b):
-    """One-scene SceneBatch view (B=1)."""
-    return jax.tree_util.tree_map(lambda x: x[b : b + 1], scene)
 
 
 def main(argv=None):
