@@ -91,7 +91,10 @@ def parse_cfg(argv=None):
     parser.add_argument("--synth_scenes", type=int, default=24)
     parser.add_argument("--max_scenes", type=int, default=None,
                         help="cap on candidate scenes (for smoke runs)")
-    parser.add_argument("--ref_compat", action="store_true", default=True)
+    parser.add_argument("--no_ref_compat", dest="ref_compat",
+                        action="store_false", default=True,
+                        help="fix the reference TgtMatchingLoss prior-weight "
+                             "bug instead of replicating it (PARITY.md)")
     return parser.parse(argv)
 
 

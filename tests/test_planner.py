@@ -139,3 +139,71 @@ def test_rollout_brakes_for_blocker(lg):
     # blocked ego travels less far and does not pass through the blocker
     assert out_blocked[0, -1, 0] < out_free[0, -1, 0] - 1.0
     assert out_blocked[0, -1, 0] < 45.0
+
+
+def test_cluster_matches_dedup(lg):
+    from strive_tpu.planners.hardcode import (
+        cluster_matches_combine,
+        get_lane_matches,
+    )
+
+    # a pose matching many consecutive edges of one lane should cluster to
+    # a single representative match
+    m = get_lane_matches(64.0, 32.0, 0.0, lg,
+                         cdistmax=1.0 - np.cos(np.radians(20.0)),
+                         xydistmax=2.0)
+    clustered = cluster_matches_combine(64.0, 32.0, m, lg)
+    assert clustered["ixes"].shape[0] <= m["ixes"].shape[0]
+    assert clustered["ixes"].shape[0] >= 1
+    # representatives must come from the original match set
+    orig = {tuple(e) for e in m["ixes"]}
+    for e in clustered["ixes"]:
+        assert tuple(e) in orig
+
+
+def test_expand_verts_reaches_distance(lg):
+    from strive_tpu.planners.hardcode import expand_verts
+
+    lanes = expand_verts(0, lg["xy"], lg["out_edges"], mindist=20.0)
+    assert len(lanes) >= 1
+    for lane in lanes:
+        # either reached the distance or hit a terminal vertex
+        last = lane["v"][-1]
+        assert lane["l"] > 20.0 or len(lg["out_edges"][last]) == 0
+
+
+def test_prediction_splines_pass_through_pose(lg):
+    from strive_tpu.planners.hardcode import (
+        cluster_matches_combine,
+        get_lane_matches,
+        get_prediction_splines,
+    )
+
+    x, y, h = 64.0, 33.0, 0.1  # near the y=32 lane, slightly offset
+    m = cluster_matches_combine(
+        x, y, get_lane_matches(x, y, h, lg,
+                               1.0 - np.cos(np.radians(20.0)), 2.0), lg)
+    splines = get_prediction_splines(m, lg, backdist=5.0, fordist=40.0,
+                                     xydistmax=2.0, egoxy=np.array([x, y]),
+                                     egoh=h)
+    assert len(splines) >= 1
+    for sp in splines:
+        at0 = sp(np.array([0.0]))[0]
+        # spline passes (approximately) through the ego position and exactly
+        # through the ego heading (reference xy2spline forces it)
+        assert np.hypot(at0[0] - x, at0[1] - y) < 0.5
+        np.testing.assert_allclose(at0[2:], [np.cos(h), np.sin(h)], atol=1e-9)
+
+
+def test_constant_heading_fallback():
+    from strive_tpu.planners.hardcode import get_prediction_splines
+
+    empty = {"ixes": np.empty((0, 2), np.int64), "closest": np.empty((0, 2))}
+    sp = get_prediction_splines(empty, None, 5.0, 20.0, 2.0,
+                                np.array([10.0, 10.0]), 0.5)
+    assert len(sp) == 1
+    pts = sp[0](np.array([0.0, 10.0]))
+    np.testing.assert_allclose(pts[0, :2], [10.0, 10.0], atol=1e-9)
+    np.testing.assert_allclose(
+        pts[1, :2],
+        [10.0 + 10 * np.cos(0.5), 10.0 + 10 * np.sin(0.5)], atol=1e-9)
