@@ -138,3 +138,41 @@ def test_feasibility(setup):
     assert feas[0]        # approaching agent is feasible
     assert not feas[1]    # far agent is not
     assert not feas[2:].any()  # padded
+
+
+def test_feasibility_separation_filter(setup):
+    """check_non_drivable_separation removes candidates behind a wall."""
+    model, params, scene, store = setup
+    import numpy as np
+    import jax.numpy as jnp
+    from strive_tpu.maps import MapStore
+
+    # map: drivable everywhere except a vertical wall at x in [50, 52.5]m
+    arr = np.ones((1, 1, 512, 512), np.uint8)
+    arr[0, 0, :, 200:210] = 0
+    wall_store = MapStore(raster=jnp.asarray(arr),
+                          dx=jnp.asarray(np.full((1, 2), 0.25, np.float32)))
+
+    state_norm = state_normalizer_for(("car", "truck"))
+    NS, NA, FT = 2, 3, 6
+    samples = np.zeros((NS, NA, FT, 4), np.float32)
+    samples[..., 2] = 1.0
+    samples[:, 0, :, 0] = 40.0   # ego left of the wall
+    samples[:, 0, :, 1] = 60.0
+    samples[:, 1, :, 0] = 45.0   # close, same side
+    samples[:, 1, :, 1] = 60.0
+    samples[:, 2, :, 0] = 58.0   # close, but behind the wall
+    samples[:, 2, :, 1] = 60.0
+    samples_n = np.asarray(state_norm.normalize(samples))
+    mask = np.ones(NA, bool)
+
+    feas, _, _ = determine_feasibility(
+        jnp.asarray(samples_n), jnp.asarray(mask), state_norm,
+        feasibility_thresh=25.0, feasibility_time=0, feasibility_vel=-1.0,
+        feasibility_infront_min=None, check_non_drivable_separation=True,
+        drivable=wall_store.drivable(), dx=wall_store.dx,
+        map_idx=jnp.asarray(0),
+    )
+    feas = np.asarray(feas)
+    assert feas[0]        # same-side candidate stays feasible
+    assert not feas[1]    # wall-separated candidate filtered out
