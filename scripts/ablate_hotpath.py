@@ -59,8 +59,8 @@ def main():
     # monkeypatch: freeze the map feature inside the rollout
     orig = tm._make_decode_step
 
-    def patched(has_ext):
-        step = orig(has_ext)
+    def patched(has_ext, substeps=1):
+        step = orig(has_ext, substeps)
 
         def wrapper(mdl, carry, consts, ext_t):
             new_carry, out = step(mdl, carry, consts, ext_t)
@@ -77,8 +77,8 @@ def main():
     # gather cost from conv cost
     from strive_tpu.maps.queries import get_map_crop
 
-    def gather_only(has_ext):
-        step = orig(has_ext)
+    def gather_only(has_ext, substeps=1):
+        step = orig(has_ext, substeps)
 
         def wrapper(mdl, carry, consts, ext_t):
             sem, lw, z, veh_len, mask, map_idx, map_store = consts
@@ -97,7 +97,7 @@ def main():
         return wrapper
 
     tm._make_decode_step = gather_only
-    t_gather = measure("gather only (no CNN)")
+    t_gather = measure("XLA-gather path, no CNN (pre-kernel baseline)")
     tm._make_decode_step = orig
 
     print(f"in-loop map encode share: {100*(1 - t_nomap/t_full):.0f}%")

@@ -1,32 +1,37 @@
-"""Pallas TPU kernel for the rotated map-crop gather.
+"""Pallas TPU kernel for the rotated map-crop gather (one-hot MXU matmul).
 
-The per-rollout-step crop is THE hot op (98% of decode+grad time — see
-scripts/ablate_hotpath.py): XLA lowers the arbitrary (py, px) gather from
-the HBM raster to a ~0.1 G elem/s scalar path whose speed additionally
-varies 1000x with operand layout. This kernel is deterministic:
+The per-rollout-step crop is THE hot op (95% of decode+grad time, see
+PERF.md): XLA lowers the arbitrary (py, px) gather from the HBM raster to a
+~0.1 G elem/s scalar path. This toolchain's Mosaic additionally crashes on
+every dynamic-gather op, on manual ``make_async_copy`` from HBM, and on most
+dynamic-slice reads (see scripts/probe_mosaic_bisect*.py) — so this kernel
+uses NONE of those. It is built only from constructs verified to compile
+here:
 
-1. outside the kernel (plain XLA, elementwise): compute the reference's
-   exact pixel indices (round + clamp to (0,0) when off-map), the crop's
-   bounding box, and a tile-aligned window origin per agent;
-2. per-agent grid program: one strided DMA pulls a (512, 640) uint8 window
-   from the bit-packed raster HBM -> VMEM (origins aligned to the (32, 128)
-   uint8 tile so the DMA is legal; the window covers the crop's <=436 px
-   bbox plus alignment slack);
-3. in-kernel gather in 512-sample chunks using Mosaic's same-shape
-   ``take_along_axis`` (out[s, j] = win[idx[s, j], j]): a row gather then a
-   column pick;
-4. outside: unpack channel bits and substitute the map's (0,0) value for
-   off-map samples (reference ``nuscenes_utils.py:260-263`` semantics).
+1. outside the kernel (plain XLA, fused): the reference's exact pixel
+   indices (round + OOB->pixel(0,0), ``nuscenes_utils.py:234-264``),
+   arranged tile-major (TILE x TILE output tiles), plus each tile's
+   window-block coordinates;
+2. per-tile grid program: the tile's source window arrives as kr x kc
+   auto-pipelined (64, 128) blocks — the SAME raster array is bound to
+   kr*kc input specs whose scalar-prefetch index_maps pick each tile's
+   blocks — and is assembled into VMEM scratch with static stores;
+3. the gather itself is a one-hot matmul on the MXU:
+   ``rows = win^T @ onehot`` with ``onehot[r, p] = (ly[p] == r)`` from a
+   broadcasted-iota compare (points stay lane-major end to end, so no
+   Mosaic relayouts), then a column pick by masked reduction;
+4. outside: off-map samples replaced by the map's (0,0) byte and channel
+   bits unpacked (reference ``nuscenes_utils.py:260-263`` semantics).
 
-STATUS: EXPERIMENTAL / DISABLED. The current toolchain's Mosaic backend
-crashes (tpu_compile_helper exit 1) on ANY dynamic-gather op — even a
-standalone same-shape take_along_axis kernel — so this path cannot compile
-here. See PERF.md for the full investigation; the model uses the XLA
-gather path. Re-enable by flipping KERNEL_AVAILABLE when the toolchain's
-gather lowering works (tests/test_crop_kernel.py validates bit-exactness).
+Bit-exact vs the XLA path (scripts/probe_onehot_crop2.py) and ~100x faster
+on the hot op in fused graphs; used automatically by
+``queries.get_map_crop`` when ``kernel_supported`` holds.
 """
 
 from __future__ import annotations
+
+import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,150 +40,173 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .queries import gen_car_coords
 
-KERNEL_AVAILABLE = False  # Mosaic dynamic-gather broken in this toolchain
+KERNEL_AVAILABLE = True
 
-WIN_R = 512   # window rows (>= 436 bbox + 31 align slack)
-WIN_C = 640   # window cols (>= 436 bbox + 127 align slack)
-CHUNK = 512   # samples gathered per inner iteration (= 2 output rows)
-
-
-def kernel_supported(bounds, dx_m, map_shape, L=256, W=256):
-    """Static check that the crop bbox fits the kernel window."""
-    import math
-
-    diag = math.hypot(bounds[2] - bounds[0], bounds[3] - bounds[1])
-    bbox_px = diag / dx_m + 2
-    M, H, Wp = map_shape
-    return (bbox_px + 32 <= WIN_R and bbox_px + 128 <= WIN_C
-            and H % 32 == 0 and H >= WIN_R and Wp >= WIN_C
-            and (L * W) % CHUNK == 0 and CHUNK % W == 0)
+BR = 64    # window block rows
+BC = 128   # window block cols (TPU lane tile)
+TILE = 32  # output tile edge (crop pixels per program: TILE*TILE)
+PTS = TILE * TILE
 
 
-def _crop_kernel(row0_ref, col0_ref, ly_ref, lx_ref, raster_ref, out_ref,
-                 win_u8, win_i32, sem):
-    a = pl.program_id(0)
-    cp = pltpu.make_async_copy(
-        raster_ref.at[pl.ds(row0_ref[a], WIN_R), pl.ds(col0_ref[a], WIN_C)],
-        win_u8,
-        sem,
-    )
-    cp.start()
-    cp.wait()
-    win_i32[:] = win_u8[:].astype(jnp.int32)
-
-    L, W = out_ref.shape[1], out_ref.shape[2]
-    # VMEM slice offsets in the sublane dim must be multiples of 8, so the
-    # loop reads 8 output rows at a time and gathers them in CHUNK-sample
-    # sub-chunks at static offsets (Mosaic's gather needs indices shaped
-    # exactly like the (WIN_R, WIN_C) operand, i.e. CHUNK == WIN_R samples)
-    rows_per_iter = 8
-    samples_per_iter = rows_per_iter * W  # 2048
-    n_sub = samples_per_iter // CHUNK     # 4
-    n_iters = L // rows_per_iter
-
-    def body(c, _):
-        r0 = c * rows_per_iter
-        ly8 = ly_ref[0, pl.ds(r0, rows_per_iter), :].reshape(samples_per_iter)
-        lx8 = lx_ref[0, pl.ds(r0, rows_per_iter), :].reshape(samples_per_iter)
-        parts = []
-        for s in range(n_sub):
-            ly = jax.lax.slice(ly8, (s * CHUNK,), ((s + 1) * CHUNK,))
-            lx = jax.lax.slice(lx8, (s * CHUNK,), ((s + 1) * CHUNK,))
-            idx_rows = jnp.broadcast_to(ly[:, None], (CHUNK, WIN_C))
-            rows = jnp.take_along_axis(win_i32[:], idx_rows, axis=0)
-            idx_cols = jnp.broadcast_to(lx[:, None], (CHUNK, WIN_C))
-            picked = jnp.take_along_axis(rows, idx_cols, axis=1)
-            parts.append(picked[:, 0:1])
-        vals = jnp.concatenate(parts, axis=0)  # (samples_per_iter, 1)
-        out_ref[0, pl.ds(r0, rows_per_iter), :] = vals.reshape(
-            rows_per_iter, W)
-        return ()
-
-    jax.lax.fori_loop(0, n_iters, body, ())
+def _span_px(bounds, dx_m, L, W):
+    """Static bound on the source-pixel span of one TILE x TILE crop tile."""
+    sl = (bounds[2] - bounds[0]) / max(L - 1, 1)
+    sw = (bounds[3] - bounds[1]) / max(W - 1, 1)
+    return int(math.ceil((TILE - 1) * math.hypot(sl, sw) / dx_m)) + 2
 
 
-def crop_gather_pallas(packed, ly, lx, row0, col0):
-    """Gather packed-bit crops through the kernel.
+def kernel_blocks(bounds, dx_m, L, W):
+    """(kr, kc) window block counts for the static tile span."""
+    s = _span_px(bounds, dx_m, L, W)
+    return 1 + -(-s // BR), 1 + -(-s // BC)
 
-    :param packed: (M, H, W) uint8 bit-packed raster
-    :param ly: (N, L, W) int32 window-local rows in [0, WIN_R)
-    :param lx: (N, L, W) int32 window-local cols in [0, WIN_C)
-    :param row0: (N,) int32 32-aligned window origin rows in the flattened
-        (M*H, W) raster; col0: (N,) 128-aligned origin columns
-    :return: (N, L, W) int32 packed values
+
+def kernel_supported(bounds, dx_m, packed_shape, L=256, W=256):
+    """Static check that the kernel can serve this crop configuration.
+
+    :param dx_m: smallest meters-per-pixel across maps (host float)
+    :param packed_shape: (M, H, W) of the (padded) bit-packed raster
     """
-    N, L, W = ly.shape
-    M, H, Wp = packed.shape
-    flat = packed.reshape(M * H, Wp)
+    if os.environ.get("STRIVE_DISABLE_CROP_KERNEL"):
+        return False
+    if dx_m is None or dx_m <= 0:
+        return False
+    if jax.default_backend() != "tpu":
+        return False  # Mosaic kernel; CPU meshes use the XLA gather path
+    M, H, Wp = packed_shape
+    kr, kc = kernel_blocks(bounds, dx_m, L, W)
+    return (L % TILE == 0 and W % TILE == 0
+            and (M * H) % BR == 0 and Wp % BC == 0
+            and M * H >= kr * BR and Wp >= kc * BC
+            and kr * BR <= 512 and kc * BC <= 512)
 
+
+def _make_kernel(kr, kc, nq):
+    def _kernel(rb_ref, cb_ref, ly_ref, lx_ref, *rest):
+        quads = rest[:nq]
+        out_ref = rest[nq]
+        win = rest[nq + 1]
+        q = 0
+        for i in range(kr):
+            for j in range(kc):
+                win[i * BR:(i + 1) * BR, j * BC:(j + 1) * BC] = quads[q][:]
+                q += 1
+        wt = win[:].astype(jnp.int32).astype(jnp.bfloat16)  # (kr*64, kc*128)
+        ly = ly_ref[0, 0]                                   # (1, PTS)
+        lx = lx_ref[0, 0]
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (kr * BR, PTS), 0)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (kc * BC, PTS), 0)
+        onehot = (iota_r == ly).astype(jnp.bfloat16)        # (kr*64, PTS)
+        # DEFAULT precision is exact here (bf16 holds 0..255 and one-hot
+        # exactly; f32 accumulate) and is the only mode this Mosaic build
+        # compiles — "highest" crashes it (conftest sets it globally)
+        rows = jax.lax.dot_general(
+            wt, onehot, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)            # (kc*128, PTS)
+        val = jnp.sum(jnp.where(iota_c == lx, rows, 0.0), axis=0,
+                      keepdims=True)                        # (1, PTS)
+        out_ref[0, 0] = val
+
+    return _kernel
+
+
+def _crop_onehot(flat, ly, lx, rb, cb, kr, kc):
+    """:param flat: (M*H, W) uint8 raster (dims multiples of BR / BC)
+    :param ly/lx: (N, T, 1, PTS) int32 window-local pixel indices
+    :param rb/cb: (N, T) int32 top-left window BLOCK indices
+    :return: (N, T, 1, PTS) float32 gathered byte values
+    """
+    N, T = rb.shape
+
+    def spec_q(dr, dc):
+        return pl.BlockSpec(
+            (BR, BC),
+            lambda a, t, rb, cb, dr=dr, dc=dc: (rb[a, t] + dr, cb[a, t] + dc),
+            memory_space=pltpu.VMEM)
+
+    idx_spec = pl.BlockSpec((1, 1, 1, PTS), lambda a, t, *_: (a, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    quad_specs = [spec_q(i, j) for i in range(kr) for j in range(kc)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(N,),
-        in_specs=[
-            pl.BlockSpec((1, L, W), lambda a, *_: (a, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, W), lambda a, *_: (a, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, L, W), lambda a, *_: (a, 0, 0),
+        grid=(N, T),
+        in_specs=[idx_spec, idx_spec] + quad_specs,
+        out_specs=pl.BlockSpec((1, 1, 1, PTS), lambda a, t, *_: (a, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((WIN_R, WIN_C), jnp.uint8),
-            pltpu.VMEM((WIN_R, WIN_C), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=[pltpu.VMEM((kr * BR, kc * BC), jnp.uint8)],
     )
     return pl.pallas_call(
-        _crop_kernel,
-        out_shape=jax.ShapeDtypeStruct((N, L, W), jnp.int32),
+        _make_kernel(kr, kc, len(quad_specs)),
+        out_shape=jax.ShapeDtypeStruct((N, T, 1, PTS), jnp.float32),
         grid_spec=grid_spec,
-    )(row0, col0, ly, lx, flat)
+    )(rb, cb, ly, lx, *([flat] * len(quad_specs)))
+
+
+def _tileize(idx, N, L, W):
+    tr, tc = L // TILE, W // TILE
+    return (idx.reshape(N, tr, TILE, tc, TILE)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(N, tr * tc, 1, PTS))
+
+
+def _untileize(vals, N, L, W):
+    tr, tc = L // TILE, W // TILE
+    return (vals.reshape(N, tr, tc, TILE, TILE)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(N, L, W))
 
 
 def get_map_crop_kernel(raster, dx, pos, mapixes, bounds, L=256, W=256,
-                        dtype=jnp.float32, packed=None, num_channels=None):
-    """Drop-in replacement for queries.get_map_crop using the Pallas path.
+                        dtype=jnp.float32, packed=None, num_channels=None,
+                        kr=2, kc=2):
+    """Drop-in replacement for ``queries.get_map_crop`` on the kernel path.
 
     Semantics identical to the reference ``get_map_obs``
     (``nuscenes_utils.py:234-264``): round-to-nearest integer sampling,
-    off-map samples read the map's pixel (0, 0).
+    off-map (or NaN-pose) samples read the map's pixel (0, 0). Bit-exact
+    vs the XLA path (tests/test_crop_kernel.py).
+
+    The raster/indices enter the kernel as integers, so no gradient flows
+    through it (matching the XLA take path; crop positions are detached by
+    callers per reference ``traffic_model.py:694``).
     """
     assert packed is not None, "kernel path requires the bit-packed raster"
-    Mm, H, Wp = packed.shape
+    Mm, Hp, Wp = packed.shape
+    # OOB is defined by the REAL raster extent (padding is kernel-only)
+    H_real, W_real = raster.shape[-2], raster.shape[-1]
     C = num_channels if num_channels is not None else raster.shape[1]
     N = pos.shape[0]
+    MH = Mm * Hp
 
     xys = gen_car_coords(pos[:, :2], pos[:, 2:4], L, W, bounds=bounds)
     xys = jnp.where(jnp.isnan(xys), 0.0, xys)
     d = dx[mapixes]
     px = jnp.round(xys[..., 0] / d[:, 0, None, None]).astype(jnp.int32)
     py = jnp.round(xys[..., 1] / d[:, 1, None, None]).astype(jnp.int32)
-    outside = (px < 0) | (px >= Wp) | (py < 0) | (py >= H)
+    outside = (px < 0) | (px >= W_real) | (py < 0) | (py >= H_real)
     px = jnp.where(outside, 0, px)
     py = jnp.where(outside, 0, py)
 
-    # per-agent window origin: cover the index bbox, tile-aligned, in-range.
-    # off-map samples were remapped to (0,0) and would drag the bbox to the
-    # origin — exclude them from the min (they're fixed up afterwards)
     big = jnp.int32(1 << 30)
-    py_min = jnp.min(jnp.where(outside, big, py).reshape(N, -1), axis=1)
-    px_min = jnp.min(jnp.where(outside, big, px).reshape(N, -1), axis=1)
+    py_t = _tileize(py, N, L, W)
+    px_t = _tileize(px, N, L, W)
+    o_t = _tileize(outside.astype(jnp.int32), N, L, W) > 0
+    pya = mapixes.astype(jnp.int32)[:, None, None, None] * Hp + py_t
+    py_min = jnp.min(jnp.where(o_t, big, pya), axis=(2, 3))
+    px_min = jnp.min(jnp.where(o_t, big, px_t), axis=(2, 3))
     py_min = jnp.where(py_min == big, 0, py_min)
     px_min = jnp.where(px_min == big, 0, px_min)
-    y0 = jnp.clip(py_min & ~31, 0, jnp.maximum(H - WIN_R, 0))
-    x0 = jnp.clip(px_min & ~127, 0, jnp.maximum(Wp - WIN_C, 0))
-    ly = jnp.clip(py - y0[:, None, None], 0, WIN_R - 1)
-    lx = jnp.clip(px - x0[:, None, None], 0, WIN_C - 1)
-    in_window = ((py - y0[:, None, None] == ly)
-                 & (px - x0[:, None, None] == lx))
+    rb = jnp.clip(py_min // BR, 0, MH // BR - kr)
+    cb = jnp.clip(px_min // BC, 0, Wp // BC - kc)
+    ly = jnp.clip(pya - rb[:, :, None, None] * BR, 0, kr * BR - 1)
+    lx = jnp.clip(px_t - cb[:, :, None, None] * BC, 0, kc * BC - 1)
 
-    m = mapixes.astype(jnp.int32)
-    row0 = m * H + y0  # stays 32-aligned when H % 32 == 0 (kernel_supported)
-    vals = crop_gather_pallas(packed, ly, lx, row0, x0)
-
-    origin_val = packed[m, 0, 0].astype(jnp.int32)  # (N,)
-    vals = jnp.where(in_window, vals, origin_val[:, None, None])
+    flat = packed.reshape(MH, Wp)
+    vals = _crop_onehot(flat, ly, lx, rb, cb, kr, kc)
+    vals = _untileize(vals, N, L, W).astype(jnp.int32)
+    origin = packed[mapixes, 0, 0].astype(jnp.int32)
+    vals = jnp.where(outside, origin[:, None, None], vals)
 
     shifts = jnp.arange(C, dtype=jnp.int32)[None, :, None, None]
     obs = (vals[:, None, :, :] >> shifts) & 1

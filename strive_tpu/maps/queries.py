@@ -88,7 +88,8 @@ def _pixel_lookup(maps, dx, xys, mapixes):
 
 
 def get_map_crop(raster, dx, pos, mapixes, bounds, L=256, W=256,
-                 dtype=jnp.float32, packed=None, num_channels=None):
+                 dtype=jnp.float32, packed=None, num_channels=None,
+                 min_dx=None):
     """Oriented local map crop around each pose.
 
     :param raster: (M, C, H, W) uint8
@@ -98,16 +99,32 @@ def get_map_crop(raster, dx, pos, mapixes, bounds, L=256, W=256,
     :param packed: optional (M, H, W) uint8 bit-packed raster (bit c =
         channel c). When given, one gather per pixel instead of C — the
         crop gather is the rollout's dominant HBM traffic.
+    :param min_dx: optional static (host float) smallest meters-per-pixel;
+        when given with ``packed``, the Pallas one-hot crop kernel is used
+        if it supports the configuration (bit-exact, ~100x faster).
     :return: (B, C, L, W) in ``dtype``
 
     Matches reference ``get_map_obs`` (``nuscenes_utils.py:234-264``)
     including the nan-pose -> pixel(0,0) guard.
     """
+    if packed is not None and min_dx is not None:
+        from . import crop_kernel
+
+        if crop_kernel.KERNEL_AVAILABLE and crop_kernel.kernel_supported(
+                bounds, min_dx, packed.shape, L, W):
+            kr, kc = crop_kernel.kernel_blocks(bounds, min_dx, L, W)
+            return crop_kernel.get_map_crop_kernel(
+                raster, dx, pos, mapixes, bounds, L=L, W=W, dtype=dtype,
+                packed=packed, num_channels=num_channels, kr=kr, kc=kc)
+    # OOB is defined by the REAL raster extent (packed may carry kernel-
+    # alignment padding); indexing strides follow the array actually read
+    Mm, C, H, Wp = raster.shape
     if packed is not None:
-        Mm, H, Wp = packed.shape
-        C = num_channels if num_channels is not None else raster.shape[1]
+        _, Hs, Ws = packed.shape  # storage dims (possibly padded)
+        if num_channels is not None:
+            C = num_channels
     else:
-        Mm, C, H, Wp = raster.shape
+        Hs, Ws = H, Wp
     xys = gen_car_coords(pos[:, :2], pos[:, 2:4], L, W, bounds=bounds)
     xys = jnp.where(jnp.isnan(xys), 0.0, xys)
 
@@ -117,10 +134,10 @@ def get_map_crop(raster, dx, pos, mapixes, bounds, L=256, W=256,
     outside = (px < 0) | (px >= Wp) | (py < 0) | (py >= H)
     px = jnp.where(outside, 0, px)
     py = jnp.where(outside, 0, py)
-    spatial = py * Wp + px  # (B, L, W)
+    spatial = py * Ws + px  # (B, L, W)
 
     if packed is not None:
-        base = mapixes.astype(jnp.int32)[:, None, None] * (H * Wp)
+        base = mapixes.astype(jnp.int32)[:, None, None] * (Hs * Ws)
         bits = jnp.take(packed.reshape(-1), base + spatial, mode="clip")
         shifts = jnp.arange(C, dtype=jnp.uint8)[None, :, None, None]
         obs = (bits[:, None, :, :] >> shifts) & jnp.uint8(1)

@@ -66,8 +66,12 @@ class MapStore:
 
     raster: jnp.ndarray  # (M, C, H, W) uint8
     dx: jnp.ndarray      # (M, 2) float32
-    packed: Optional[jnp.ndarray] = None  # (M, H, W) uint8 bitfield
+    packed: Optional[jnp.ndarray] = None  # (M, H', W') uint8 bitfield,
+    #   H'/W' zero-padded to the crop kernel's block grid (64/128)
     map_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
+    # static smallest meters-per-pixel; enables the Pallas crop kernel
+    # (its window-size bound must be known at trace time)
+    min_dx_m: Optional[float] = struct.field(pytree_node=False, default=None)
 
     @property
     def M(self):
@@ -82,21 +86,38 @@ class MapStore:
         return self.raster[:, 0]
 
     def with_packed(self):
-        """Return a copy with the bit-packed raster populated."""
-        if self.packed is not None:
-            return self
-        return self.replace(packed=pack_raster(self.raster))
+        """Return a copy with the bit-packed raster + static min_dx set."""
+        new = self
+        if new.packed is None:
+            new = new.replace(packed=pack_raster(new.raster))
+        if new.min_dx_m is None:
+            try:
+                new = new.replace(min_dx_m=float(np.min(np.asarray(new.dx))))
+            except Exception:
+                pass  # dx is a tracer; kernel stays disabled
+        return new
 
 
-def pack_raster(raster):
-    """(M, C, H, W) binary uint8 -> (M, H, W) uint8 bitfield."""
+def pack_raster(raster, align=(64, 128)):
+    """(M, C, H, W) binary uint8 -> (M, H', W') uint8 bitfield.
+
+    H'/W' are zero-padded up to multiples of ``align`` so the crop kernel's
+    block grid is legal; padding never changes crop values (out-of-bounds is
+    judged against the REAL raster extent before indexing).
+    """
     M, C, H, W = raster.shape
     assert C <= 8, "bit-packing supports at most 8 channels"
     shifts = jnp.asarray([1 << c for c in range(C)], jnp.uint8)
-    return jnp.sum(
+    packed = jnp.sum(
         raster.astype(jnp.uint8) * shifts[None, :, None, None], axis=1,
         dtype=jnp.uint8,
     )
+    ah, aw = align
+    Hp = -(-H // ah) * ah
+    Wp = -(-W // aw) * aw
+    if (Hp, Wp) != (H, W):
+        packed = jnp.pad(packed, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    return packed
 
 
 def synthetic_map_store(num_maps=2, size_px=512, channels=3, pix_per_m=4.0,
@@ -131,3 +152,22 @@ def synthetic_map_store(num_maps=2, size_px=512, channels=3, pix_per_m=4.0,
     names = tuple(f"synthetic-{i}" for i in range(num_maps))
     return MapStore(raster=jnp.asarray(rasters), dx=jnp.asarray(dx),
                     map_names=names).with_packed()
+
+
+def upsample_store(store: MapStore, factor: int) -> MapStore:
+    """Nearest-neighbor upsample for hi-res qualitative rendering.
+
+    The reference re-rasterizes at 8 px/m for eval_adv_gen's qualitative
+    output (``eval_adv_gen.py:683``); without the devkit we upsample the
+    existing raster instead (same content, finer pixels). ``dx`` shrinks by
+    ``factor`` so world-coordinate queries stay correct.
+    """
+    if factor <= 1:
+        return store
+    r = np.asarray(store.raster)
+    r = np.repeat(np.repeat(r, factor, axis=-2), factor, axis=-1)
+    dx = np.asarray(store.dx) / float(factor)
+    mdx = None if store.min_dx_m is None else store.min_dx_m / float(factor)
+    return MapStore(raster=jnp.asarray(r), dx=jnp.asarray(dx),
+                    map_names=store.map_names,
+                    min_dx_m=mdx).with_packed()

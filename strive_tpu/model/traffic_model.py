@@ -235,7 +235,7 @@ class TrafficModel(nn.Module):
         crop = get_map_crop(
             map_store.raster, map_store.dx, pos_unnorm, mapixes,
             self.map_bounds, L=self.map_obs_size_pix, W=self.map_obs_size_pix,
-            packed=map_store.packed,
+            packed=map_store.packed, min_dx=map_store.min_dx_m,
         )
         feat = self.map_encoder(crop)
         return feat.reshape(B, NA, self.map_feat_size)

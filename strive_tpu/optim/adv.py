@@ -1,9 +1,17 @@
 """Adversarial scenario optimization driver.
 
-Reference ``utils/adv_gen_optim.py:39-235``. The reference's two decoder
-passes with alternating ``.detach()`` (:119-130) become two decodes with
-``stop_gradient``-partitioned latents inside ONE jit-compiled Adam scan;
-grads reach (tgt_z, other_z) exactly as in the reference.
+Reference ``utils/adv_gen_optim.py:39-235``. Two TPU-side optimizations
+over the reference's structure, both gradient-exact:
+
+- **single-decode VJP**: the reference's two decoder passes with
+  alternating ``.detach()`` (:119-130) share identical forward values —
+  only gradient routing differs. One ``jax.vjp`` of the decoder pulled
+  back with the two loss cotangents (vmapped) yields the same gradients
+  with one forward instead of two.
+- **cached jitted runners**: the whole Adam loop is one compiled
+  ``lax.scan``; the compiled runner is cached across driver calls (keyed
+  by model/params identity + static config), so repeat batches with equal
+  shapes skip Python re-tracing entirely (it dominated wall time).
 
 Open-loop mode ('ego'/replay planner) injects the recorded planner future
 via ext_future. Closed-loop mode ('hardcode') re-rolls the rule-based
@@ -23,8 +31,6 @@ mechanisms:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,7 +38,7 @@ import optax
 
 from ..losses.adv import adv_gen_loss, tgt_matching_loss
 from ..losses.metrics import check_single_veh_coll
-from .loop import run_adam_loop
+from .loop import cached_runner, run_adam_loop_vg
 
 
 def _combine_z(tgt_z, other_z):
@@ -63,117 +69,186 @@ def run_adv_gen_optim(model, params, cur_z, lr, loss_weights, scene, map_store,
         internal_pred (B,NA,FT,4) — the model's own final decode, whose ego
         slot is the internal planner prediction)
     """
-    B, NA, D = cur_z.shape
     FT = future_len if future_len is not None else model.nfuture
-    smean = jnp.asarray(model.norm.state_mean[:4])
-    sstd = jnp.asarray(model.norm.state_std[:4])
-    unnorm = lambda x: x * sstd + smean
-    lw_unnorm = (scene.lw * jnp.asarray(model.norm.att_std)
-                 + jnp.asarray(model.norm.att_mean))
-    mapixes = scene.map_idx
-    drivable = map_store.drivable()
-    dx = map_store.dx
-    init_other_z = jax.lax.stop_gradient(cur_z)
-
     open_loop = planner_name == "ego"
-    if open_loop:
-        planner_fut_norm = scene.future_gt[:, 0, :FT, :4]  # (B, FT, 4)
-        ext_future = planner_fut_norm
-    else:
-        ext_future = None
+    has_atk_mask = attack_agt_mask is not None
+    statics = (int(num_iters), bool(open_loop), int(FT), float(lr),
+               tuple(sorted(loss_weights.items())), float(veh_coll_buffer),
+               int(feasibility_time),
+               None if feasibility_infront_min is None
+               else float(feasibility_infront_min),
+               bool(ref_compat), str(closed_loop_mode),
+               int(planner_refresh_every), has_atk_mask)
+    anchors = (model, params) if open_loop or planner_rollout_fn is None \
+        else (model, params, planner_rollout_fn)
 
-    def loss_fn(opt_vars, planner_fut_arg=None):
-        tgt_z, other_z = opt_vars["tgt"], opt_vars["other"]
-        z_for_tgt = _combine_z(tgt_z, jax.lax.stop_gradient(other_z))
-        z_for_other = _combine_z(jax.lax.stop_gradient(tgt_z), other_z)
+    def build():
+        weights = dict(statics[4])
+        smean = jnp.asarray(model.norm.state_mean[:4])
+        sstd = jnp.asarray(model.norm.state_std[:4])
+        att_std = jnp.asarray(model.norm.att_std)
+        att_mean = jnp.asarray(model.norm.att_mean)
+        unnorm = lambda x: x * sstd + smean
 
-        tgt_dec = model.apply(params, z_for_tgt, embed_info, scene, map_store,
-                              ext_future, FT, method="decode_embedding")
-        other_dec = model.apply(params, z_for_other, embed_info, scene,
-                                map_store, ext_future, FT,
-                                method="decode_embedding")
+        def _tgt_loss(pred, tgt_z, planner_fut, scene, tgt_prior):
+            return tgt_matching_loss(
+                unnorm(pred[:, 0]), unnorm(planner_fut),
+                tgt_z, tgt_prior, weights,
+                agent_mask=scene.mask[:, 0], ref_compat=ref_compat,
+            )["loss"]
 
-        if open_loop:
-            planner_fut = planner_fut_norm
-        elif planner_fut_arg is not None:
-            planner_fut = planner_fut_arg  # chunked: fixed within the chunk
-        else:
-            # io_callback: planner reacts to the current non-ego rollout
-            planner_fut = planner_rollout_fn(
-                jax.lax.stop_gradient(tgt_dec["future_pred"])
+        def _adv_loss_full(pred, other_z, tgt_traj, scene, map_store,
+                           other_prior, init_z, atk_mask):
+            lw_unnorm = scene.lw * att_std + att_mean
+            return adv_gen_loss(
+                unnorm(pred), unnorm(tgt_traj),
+                other_z, other_prior,
+                lw=lw_unnorm, mask=scene.mask, mapixes=scene.map_idx,
+                drivable=map_store.drivable(), dx=map_store.dx,
+                init_z=init_z, weights=weights,
+                veh_coll_buffer=veh_coll_buffer,
+                crash_min_t=feasibility_time,
+                crash_min_infront=feasibility_infront_min,
+                attack_agt_mask=atk_mask,
             )
 
-        tgt_match = tgt_matching_loss(
-            unnorm(tgt_dec["future_pred"][:, 0]), unnorm(planner_fut),
-            tgt_z, tgt_prior_distrib, loss_weights,
-            agent_mask=scene.mask[:, 0], ref_compat=ref_compat,
-        )
-        # adversarial loss sees its own (internal) planner prediction in
-        # closed loop, the recorded planner in open loop (reference :149)
-        tgt_traj = (planner_fut if open_loop
-                    else other_dec["future_pred"][:, 0])
-        adv = adv_gen_loss(
-            unnorm(other_dec["future_pred"]), unnorm(tgt_traj),
-            other_z, other_prior_distrib,
-            lw=lw_unnorm, mask=scene.mask, mapixes=mapixes, drivable=drivable,
-            dx=dx, init_z=init_other_z, weights=loss_weights,
-            veh_coll_buffer=veh_coll_buffer, crash_min_t=feasibility_time,
-            crash_min_infront=feasibility_infront_min,
-            attack_agt_mask=attack_agt_mask,
-        )
-        return tgt_match["loss"] + adv["loss"], {}
+        def _adv_loss(*a):
+            return _adv_loss_full(*a)["loss"]
 
-    opt_vars0 = {"tgt": cur_z[:, 0], "other": cur_z}
+        def _dec_fn(z, scene, map_store, emb, ext_future):
+            return model.apply(params, z, emb, scene, map_store,
+                               ext_future, FT,
+                               method="decode_embedding")["future_pred"]
 
-    @jax.jit
-    def decode_full(v):
-        z = _combine_z(v["tgt"], v["other"])
-        dec = model.apply(params, z, embed_info, scene, map_store, None, FT,
-                          method="decode_embedding")
-        return z, dec["future_pred"]
+        def _vg(opt_vars, planner_fut_arg, scene, map_store, emb,
+                tgt_prior, other_prior, init_z, atk_mask, ext_future):
+            """One decoder forward, two vmapped pullbacks (module doc)."""
+            tgt_z, other_z = opt_vars["tgt"], opt_vars["other"]
+            z = _combine_z(tgt_z, other_z)
+            pred, pullback = jax.vjp(
+                lambda zz: _dec_fn(zz, scene, map_store, emb, ext_future), z)
+            if open_loop or planner_fut_arg is not None:
+                planner_fut = planner_fut_arg
+            else:
+                # io_callback: planner reacts to the current rollout
+                planner_fut = planner_rollout_fn(
+                    jax.lax.stop_gradient(pred))
 
-    if open_loop or closed_loop_mode == "io_callback":
-        @partial(jax.jit, static_argnums=(1,))
-        def run(v0, iters):
-            vf, losses = run_adam_loop(loss_fn, v0, lr, iters)
+            lt, (c_tgt, g_tgt_direct) = jax.value_and_grad(
+                _tgt_loss, argnums=(0, 1))(pred, tgt_z, planner_fut, scene,
+                                           tgt_prior)
+
+            def _adv_of(pred_, other_z_):
+                # adversarial loss sees its own (internal) planner
+                # prediction in closed loop, the recorded planner in open
+                # loop (reference :149)
+                tgt_traj = planner_fut if open_loop else pred_[:, 0]
+                return _adv_loss(pred_, other_z_, tgt_traj, scene,
+                                 map_store, other_prior, init_z, atk_mask)
+
+            la, (c_adv, g_other_direct) = jax.value_and_grad(
+                _adv_of, argnums=(0, 1))(pred, other_z)
+
+            gz = jax.vmap(lambda c: pullback(c)[0])(jnp.stack([c_tgt, c_adv]))
+            # tgt_z enters the decode only at slot 0; other_z everywhere
+            # BUT slot 0 (reference z partition, adv_gen_optim.py:63-71)
+            grad_tgt = gz[0][:, 0] + g_tgt_direct
+            grad_other = gz[1].at[:, 0].set(0.0) + g_other_direct
+            return lt + la, {"tgt": grad_tgt, "other": grad_other}
+
+        fns = {}
+
+        @jax.jit
+        def run_full(v0, scene, map_store, emb, tgt_prior, other_prior,
+                     init_z, atk_mask, planner_fut, ext_future):
+            vf, losses = run_adam_loop_vg(
+                lambda v: _vg(v, planner_fut, scene, map_store, emb,
+                              tgt_prior, other_prior, init_z, atk_mask,
+                              ext_future),
+                v0, lr, num_iters)
             z_final = _combine_z(vf["tgt"], vf["other"])
-            final_dec = model.apply(params, z_final, embed_info, scene,
-                                    map_store, None, FT,
-                                    method="decode_embedding")
-            return z_final, final_dec["future_pred"], losses
+            final_pred = _dec_fn(z_final, scene, map_store, emb, None)
+            return z_final, final_pred, losses
 
-        z_final, final_pred, losses = run(opt_vars0, num_iters)
-    else:
-        # chunked closed loop: K jitted Adam steps per host planner re-roll
+        fns["run_full"] = run_full
+
         tx = optax.adam(lr)
-        K = max(1, int(planner_refresh_every))
 
-        @partial(jax.jit, static_argnums=(3,))
-        def chunk(v, opt_state, planner_fut, iters):
+        def chunk(v, opt_state, iters, planner_fut, scene, map_store, emb,
+                  tgt_prior, other_prior, init_z, atk_mask):
             def step(carry, _):
-                vv, os = carry
-                (loss, _), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(vv, planner_fut)
-                updates, os = tx.update(grads, os, vv)
+                vv, os_ = carry
+                loss, grads = _vg(vv, planner_fut, scene, map_store, emb,
+                                  tgt_prior, other_prior, init_z, atk_mask,
+                                  None)
+                updates, os_ = tx.update(grads, os_, vv)
                 vv = optax.apply_updates(vv, updates)
-                return (vv, os), loss
+                return (vv, os_), loss
             (v, opt_state), ls = jax.lax.scan(step, (v, opt_state), None,
                                               length=iters)
             return v, opt_state, ls
 
+        fns["chunk"] = jax.jit(chunk, static_argnums=(2,))
+        fns["tx_init"] = jax.jit(tx.init)
+
+        @jax.jit
+        def decode_full(v, scene, map_store, emb):
+            z = _combine_z(v["tgt"], v["other"])
+            return z, _dec_fn(z, scene, map_store, emb, None)
+
+        fns["decode_full"] = decode_full
+
+        @jax.jit
+        def final_losses(final_pred, planner_final, z_final, scene,
+                         map_store, other_prior, init_z, atk_mask):
+            # final pass always targets the TRUE planner (reference
+            # :187-195 passes the real planner rollout as tgt)
+            adv_final = _adv_loss_full(
+                final_pred, z_final, planner_final, scene, map_store,
+                other_prior, init_z, atk_mask)
+            return adv_final["min_agt"], adv_final["min_t"]
+
+        fns["final_losses"] = final_losses
+        return fns
+
+    fns = cached_runner("adv_optim", anchors, statics, build)
+
+    init_other_z = jax.lax.stop_gradient(cur_z)
+    atk_mask = attack_agt_mask if has_atk_mask else None
+    opt_vars0 = {"tgt": cur_z[:, 0], "other": cur_z}
+
+    if open_loop:
+        planner_fut_norm = scene.future_gt[:, 0, :FT, :4]  # (B, FT, 4)
+        ext_future = planner_fut_norm
+    else:
+        planner_fut_norm = None
+        ext_future = None
+
+    if open_loop or closed_loop_mode == "io_callback":
+        z_final, final_pred, losses = fns["run_full"](
+            opt_vars0, scene, map_store, embed_info, tgt_prior_distrib,
+            other_prior_distrib, init_other_z, atk_mask, planner_fut_norm,
+            ext_future)
+    else:
+        # chunked closed loop: K jitted Adam steps per host planner re-roll
         v = opt_vars0
-        opt_state = tx.init(v)
+        opt_state = fns["tx_init"](v)
         losses = []
         done = 0
+        K = max(1, int(planner_refresh_every))
         while done < num_iters:
             k = min(K, num_iters - done)
-            _, cur_pred = decode_full(v)
+            _, cur_pred = fns["decode_full"](v, scene, map_store, embed_info)
             planner_fut = jnp.asarray(planner_rollout_fn(cur_pred))
-            v, opt_state, ls = chunk(v, opt_state, planner_fut, k)
+            v, opt_state, ls = fns["chunk"](
+                v, opt_state, k, planner_fut, scene, map_store, embed_info,
+                tgt_prior_distrib, other_prior_distrib, init_other_z,
+                atk_mask)
             losses.append(np.asarray(ls))
             done += k
         losses = jnp.asarray(np.concatenate(losses))
-        z_final, final_pred = decode_full(v)
+        z_final, final_pred = fns["decode_full"](v, scene, map_store,
+                                                 embed_info)
 
     # replace ego with the TRUE planner trajectory (reference :177-193)
     if open_loop:
@@ -184,17 +259,10 @@ def run_adv_gen_optim(model, params, cur_z, lr, loss_weights, scene, map_store,
     final_result = final_pred.at[:, 0].set(planner_final)
 
     # one more loss pass to extract attacker agent/time (reference :195-209)
-    adv_final = adv_gen_loss(
-        unnorm(final_pred), unnorm(planner_final),
-        z_final, other_prior_distrib,
-        lw=lw_unnorm, mask=scene.mask, mapixes=mapixes, drivable=drivable,
-        dx=dx, init_z=init_other_z, weights=loss_weights,
-        veh_coll_buffer=veh_coll_buffer, crash_min_t=feasibility_time,
-        crash_min_infront=feasibility_infront_min,
-        attack_agt_mask=attack_agt_mask,
-    )
-    return (z_final, final_result, adv_final["min_agt"], adv_final["min_t"],
-            losses, final_pred)
+    min_agt, min_t = fns["final_losses"](
+        final_pred, planner_final, z_final, scene, map_store,
+        other_prior_distrib, init_other_z, atk_mask)
+    return z_final, final_result, min_agt, min_t, losses, final_pred
 
 
 def compute_adv_gen_success(final_result_traj, state_norm, att_norm, lw, mask,

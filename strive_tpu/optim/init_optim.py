@@ -2,18 +2,17 @@
 
 Reference ``utils/init_optim.py:11-68``: Adam on z minimizing
 TgtMatchingLoss between the decoded (unnormalized) future and a target
-trajectory on visible frames. Here the full loop is one jit.
+trajectory on visible frames. Here the full loop is one jit, and the
+jitted runner is cached across calls (one trace per shape, not per batch).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from ..losses.adv import tgt_matching_loss
-from .loop import run_adam_loop
+from .loop import cached_runner, run_adam_loop
 
 
 def run_init_optim(model, params, cur_z, init_traj, traj_vis, lr, loss_weights,
@@ -28,25 +27,39 @@ def run_init_optim(model, params, cur_z, init_traj, traj_vis, lr, loss_weights,
     :return: (final z, final decoded future (B, NA, FT, 4) NORMALIZED,
               loss history)
     """
+    statics = (int(num_iters), float(lr),
+               tuple(sorted(loss_weights.items())), bool(ref_compat),
+               ext_future is None)
+
+    def build():
+        weights = dict(statics[2])
+        smean = jnp.asarray(model.norm.state_mean[:4])
+        sstd = jnp.asarray(model.norm.state_std[:4])
+
+        @jax.jit
+        def run(z0, tgt_unnorm, w, scene, map_store, embed_info,
+                prior_distrib, ext_future):
+            def loss_fn(z):
+                dec = model.apply(params, z, embed_info, scene, map_store,
+                                  ext_future, method="decode_embedding")
+                fp = dec["future_pred"] * sstd + smean
+                out = tgt_matching_loss(fp, tgt_unnorm, z, prior_distrib,
+                                        weights, frame_weights=w,
+                                        agent_mask=scene.mask,
+                                        ref_compat=ref_compat)
+                return out["loss"], out
+
+            zf, losses = run_adam_loop(loss_fn, z0, lr, num_iters)
+            dec = model.apply(params, zf, embed_info, scene, map_store,
+                              ext_future, method="decode_embedding")
+            return zf, dec["future_pred"], losses
+
+        return run
+
+    run = cached_runner("init_optim", (model, params), statics, build)
     smean = jnp.asarray(model.norm.state_mean[:4])
     sstd = jnp.asarray(model.norm.state_std[:4])
     tgt_unnorm = init_traj[..., :4] * sstd + smean
     w = traj_vis * scene.mask[:, :, None].astype(jnp.float32)
-
-    def loss_fn(z):
-        dec = model.apply(params, z, embed_info, scene, map_store, ext_future,
-                          method="decode_embedding")
-        fp = dec["future_pred"] * sstd + smean
-        out = tgt_matching_loss(fp, tgt_unnorm, z, prior_distrib, loss_weights,
-                                frame_weights=w, agent_mask=scene.mask,
-                                ref_compat=ref_compat)
-        return out["loss"], out
-
-    @partial(jax.jit, static_argnums=(1,))
-    def run(z0, iters):
-        zf, losses = run_adam_loop(loss_fn, z0, lr, iters)
-        dec = model.apply(params, zf, embed_info, scene, map_store, ext_future,
-                          method="decode_embedding")
-        return zf, dec["future_pred"], losses
-
-    return run(cur_z, num_iters)
+    return run(cur_z, tgt_unnorm, w, scene, map_store, embed_info,
+               prior_distrib, ext_future)

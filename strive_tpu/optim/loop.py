@@ -31,3 +31,82 @@ def run_adam_loop(loss_fn, init_vars, lr, num_iters, return_history=True):
         step, (init_vars, tx.init(init_vars)), None, length=num_iters
     )
     return final_vars, (losses if return_history else losses[-1])
+
+
+def run_lbfgs_loop(loss_fn, init_vars, lr, num_iters, return_history=True):
+    """Minimize ``loss_fn(vars) -> (loss, aux)`` with L-BFGS (+ zoom
+    linesearch), the reference's optional refine optimizer
+    (``refine_traffic_optim.py:53-55,167-173`` uses torch.optim.LBFGS).
+    """
+    tx = optax.lbfgs(learning_rate=lr)
+
+    def value_fn(v):
+        return loss_fn(v)[0]
+
+    def step(carry, _):
+        v, opt_state = carry
+        (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(v)
+        updates, opt_state = tx.update(
+            grads, opt_state, v, value=loss, grad=grads, value_fn=value_fn)
+        v = optax.apply_updates(v, updates)
+        return (v, opt_state), loss
+
+    (final_vars, _), losses = jax.lax.scan(
+        step, (init_vars, tx.init(init_vars)), None, length=num_iters
+    )
+    return final_vars, (losses if return_history else losses[-1])
+
+
+def run_adam_loop_vg(value_and_grad_fn, init_vars, lr, num_iters,
+                     return_history=True):
+    """Like :func:`run_adam_loop` but the caller supplies
+    ``value_and_grad_fn(vars) -> (loss, grads)`` directly.
+
+    Used by the single-decode adversarial iteration: the two
+    stop_gradient-partitioned decoder passes (reference
+    ``adv_gen_optim.py:119-130``) have identical forward values, so their
+    gradients come from ONE ``jax.vjp`` forward plus two (vmapped)
+    pullbacks — jax.value_and_grad can't express that sharing.
+    """
+    tx = optax.adam(lr)
+
+    def step(carry, _):
+        v, opt_state = carry
+        loss, grads = value_and_grad_fn(v)
+        updates, opt_state = tx.update(grads, opt_state, v)
+        v = optax.apply_updates(v, updates)
+        return (v, opt_state), loss
+
+    (final_vars, _), losses = jax.lax.scan(
+        step, (init_vars, tx.init(init_vars)), None, length=num_iters
+    )
+    return final_vars, (losses if return_history else losses[-1])
+
+
+_RUNNER_CACHE = {}
+
+
+def cached_runner(name, anchors, statics, builder):
+    """Memoize a jitted runner across optimization-driver calls.
+
+    The drivers are invoked once per scene batch; building their jitted
+    closures fresh each call forces jax to RE-TRACE the whole Adam scan
+    (seconds of host time per batch — it dominated scenario throughput,
+    PERF.md r2). Runners built here close only over ``anchors`` (objects
+    compared by identity, e.g. model/params) and hashable ``statics``;
+    every per-batch array must be an argument of the built function, so a
+    repeat call with equal shapes reuses the compiled executable.
+
+    :param name: cache namespace (one per call site)
+    :param anchors: identity-keyed objects the builder closes over
+    :param statics: hashable static config tuple
+    :param builder: () -> runner; called only on cache miss
+    """
+    key = (name, tuple(id(a) for a in anchors), statics)
+    ent = _RUNNER_CACHE.get(key)
+    if ent is not None and all(a is b for a, b in zip(ent[0], anchors)):
+        return ent[1]
+    fn = builder()
+    # keep strong refs to anchors so their ids stay valid for the key
+    _RUNNER_CACHE[key] = (tuple(anchors), fn)
+    return fn

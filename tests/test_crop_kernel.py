@@ -1,4 +1,4 @@
-"""Pallas crop kernel: bit-exactness vs the XLA gather path."""
+"""Pallas one-hot crop kernel: bit-exactness vs the XLA gather path."""
 
 import numpy as np
 import jax
@@ -6,13 +6,13 @@ import jax.numpy as jnp
 import pytest
 
 from strive_tpu.maps import synthetic_map_store, get_map_crop
-from strive_tpu.maps.crop_kernel import KERNEL_AVAILABLE, get_map_crop_kernel
+from strive_tpu.maps.crop_kernel import (KERNEL_AVAILABLE, get_map_crop_kernel,
+                                         kernel_blocks, kernel_supported)
 
 pytestmark = pytest.mark.skipif(
-    not KERNEL_AVAILABLE,
-    reason="Mosaic dynamic-gather crashes this toolchain's compiler "
-           "(see crop_kernel.py docstring / PERF.md)",
-)
+    not KERNEL_AVAILABLE, reason="crop kernel disabled")
+
+BOUNDS = (-17.0, -38.5, 60.0, 38.5)
 
 
 @pytest.fixture(scope="module")
@@ -23,20 +23,34 @@ def store():
 def _compare(store, pos, mapix, bounds, L=256, W=256):
     ref = get_map_crop(store.raster, store.dx, pos, mapix, bounds, L=L, W=W,
                        packed=store.packed)
+    kr, kc = kernel_blocks(bounds, store.min_dx_m, L, W)
     got = get_map_crop_kernel(store.raster, store.dx, pos, mapix, bounds,
-                              L=L, W=W, packed=store.packed)
+                              L=L, W=W, packed=store.packed, kr=kr, kc=kc)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # the dispatching entry point must take the kernel path and agree too
+    via_dispatch = get_map_crop(store.raster, store.dx, pos, mapix, bounds,
+                                L=L, W=W, packed=store.packed,
+                                min_dx=store.min_dx_m)
+    np.testing.assert_array_equal(np.asarray(via_dispatch), np.asarray(ref))
+
+
+def test_store_has_static_min_dx(store):
+    assert store.min_dx_m == 0.25
+    assert kernel_supported(BOUNDS, store.min_dx_m, store.packed.shape)
+
+
+def _rand_pos(rng, N, lo=150.0, hi=350.0):
+    h = rng.uniform(-np.pi, np.pi, N)
+    return jnp.asarray(np.concatenate([
+        rng.uniform(lo, hi, (N, 2)),
+        np.stack([np.cos(h), np.sin(h)], -1),
+    ], axis=1).astype(np.float32))
 
 
 def test_kernel_matches_xla_interior(store, rng):
-    N = 8
-    pos = jnp.asarray(np.concatenate([
-        rng.uniform(150, 350, (N, 2)),
-        np.stack([np.cos(h := rng.uniform(-np.pi, np.pi, N)),
-                  np.sin(h)], -1),
-    ], axis=1).astype(np.float32))
-    mapix = jnp.asarray(rng.integers(0, 2, N).astype(np.int32))
-    _compare(store, pos, mapix, (-17.0, -38.5, 60.0, 38.5))
+    pos = _rand_pos(rng, 8)
+    mapix = jnp.asarray(rng.integers(0, 2, 8).astype(np.int32))
+    _compare(store, pos, mapix, BOUNDS)
 
 
 def test_kernel_matches_xla_map_edges(store, rng):
@@ -49,23 +63,60 @@ def test_kernel_matches_xla_map_edges(store, rng):
         [xy, np.stack([np.cos(h), np.sin(h)], -1)], axis=1
     ).astype(np.float32))
     mapix = jnp.asarray(np.zeros(N, np.int32))
-    _compare(store, pos, mapix, (-17.0, -38.5, 60.0, 38.5))
+    _compare(store, pos, mapix, BOUNDS)
+
+
+def test_kernel_matches_xla_small_crop(store, rng):
+    # the 64px crop config used by the test/dryrun models
+    pos = _rand_pos(rng, 6)
+    mapix = jnp.asarray(rng.integers(0, 2, 6).astype(np.int32))
+    _compare(store, pos, mapix, (-4.0, -8.0, 12.0, 8.0), L=64, W=64)
+
+
+def test_kernel_with_padded_store(rng):
+    # raster size NOT a multiple of the block grid -> packed gets padded
+    st = synthetic_map_store(num_maps=2, size_px=600, channels=3, seed=5)
+    assert st.packed.shape[1] % 64 == 0 and st.packed.shape[2] % 128 == 0
+    assert st.packed.shape[1:] != st.raster.shape[2:]
+    pos = _rand_pos(rng, 8, lo=30.0, hi=120.0)
+    mapix = jnp.asarray(rng.integers(0, 2, 8).astype(np.int32))
+    _compare(st, pos, mapix, BOUNDS)
+
+
+def test_kernel_nan_pose(store):
+    pos = jnp.asarray(np.array([[np.nan, np.nan, np.nan, np.nan],
+                                [200.0, 200.0, 1.0, 0.0]], np.float32))
+    mapix = jnp.zeros(2, jnp.int32)
+    _compare(store, pos, mapix, BOUNDS)
+
+
+def test_kernel_under_vmap(store, rng):
+    NS, N = 3, 4
+    pos = jnp.stack([_rand_pos(rng, N) for _ in range(NS)])
+    mapix = jnp.zeros(N, jnp.int32)
+
+    def crop(p):
+        return get_map_crop(store.raster, store.dx, p, mapix, BOUNDS,
+                            packed=store.packed, min_dx=store.min_dx_m)
+
+    got = jax.jit(jax.vmap(crop))(pos)
+    for s in range(NS):
+        ref = get_map_crop(store.raster, store.dx, pos[s], mapix, BOUNDS,
+                           packed=store.packed)
+        np.testing.assert_array_equal(np.asarray(got[s]), np.asarray(ref))
 
 
 def test_kernel_in_jit_and_grad_context(store, rng):
-    """The kernel is used under stop_gradient inside jitted losses."""
-    N = 4
-    pos = jnp.asarray(np.concatenate([
-        rng.uniform(150, 350, (N, 2)),
-        np.tile([1.0, 0.0], (N, 1)),
-    ], axis=1).astype(np.float32))
-    mapix = jnp.zeros(N, jnp.int32)
+    """Positions reach the kernel through integer indices, so grad flows
+    around it exactly like the XLA take path (crop positions are detached
+    by callers per reference traffic_model.py:694)."""
+    pos = _rand_pos(rng, 4)
+    mapix = jnp.zeros(4, jnp.int32)
 
     @jax.jit
     def f(p):
-        crop = get_map_crop_kernel(
-            store.raster, store.dx, jax.lax.stop_gradient(p), mapix,
-            (-17.0, -38.5, 60.0, 38.5), packed=store.packed)
+        crop = get_map_crop(store.raster, store.dx, p, mapix, BOUNDS,
+                            packed=store.packed, min_dx=store.min_dx_m)
         return jnp.sum(crop) + jnp.sum(p)
 
     g = jax.grad(f)(pos)

@@ -176,3 +176,82 @@ def test_feasibility_separation_filter(setup):
     feas = np.asarray(feas)
     assert feas[0]        # same-side candidate stays feasible
     assert not feas[1]    # wall-separated candidate filtered out
+
+
+def test_single_decode_vjp_matches_two_decode(setup, embedded):
+    """The single-decode adv iteration (one jax.vjp + two pullbacks) must
+    produce the same gradients as the reference's two stop_gradient-
+    partitioned decoder passes (``adv_gen_optim.py:119-130``)."""
+    from strive_tpu.losses.adv import adv_gen_loss, tgt_matching_loss
+
+    model, params, scene, store = setup
+    prior = embedded["prior_out"]
+    z0 = prior[0]
+    FT = model.nfuture
+    weights = {
+        "adv_crash": 2.0, "motion_prior": 1.0, "motion_prior_atk": 0.005,
+        "coll_veh": 20.0, "coll_veh_plan": 20.0, "coll_env": 20.0,
+        "init_z": 0.5, "init_z_atk": 0.05, "match_ext": 10.0,
+        "motion_prior_ext": 0.0001,
+    }
+    smean = jnp.asarray(model.norm.state_mean[:4])
+    sstd = jnp.asarray(model.norm.state_std[:4])
+    unnorm = lambda x: x * sstd + smean
+    lw_unnorm = (scene.lw * jnp.asarray(model.norm.att_std)
+                 + jnp.asarray(model.norm.att_mean))
+    planner_fut = scene.future_gt[:, 0, :FT, :4]
+    ext_future = planner_fut
+    init_other_z = jax.lax.stop_gradient(z0)
+    tgt_prior = (prior[0][:, 0], prior[1][:, 0])
+
+    def tgt_loss_of(tgt_dec_pred, tgt_z):
+        return tgt_matching_loss(
+            unnorm(tgt_dec_pred[:, 0]), unnorm(planner_fut), tgt_z,
+            tgt_prior, weights, agent_mask=scene.mask[:, 0])["loss"]
+
+    def adv_loss_of(other_dec_pred, other_z):
+        return adv_gen_loss(
+            unnorm(other_dec_pred), unnorm(planner_fut), other_z, prior,
+            lw=lw_unnorm, mask=scene.mask, mapixes=scene.map_idx,
+            drivable=store.drivable(), dx=store.dx, init_z=init_other_z,
+            weights=weights, veh_coll_buffer=0.1, crash_min_t=0)["loss"]
+
+    def two_decode_loss(opt_vars):
+        tgt_z, other_z = opt_vars["tgt"], opt_vars["other"]
+        z_t = other_z.at[:, 0].set(tgt_z)
+        z_for_tgt = jax.lax.stop_gradient(other_z).at[:, 0].set(tgt_z)
+        z_for_other = other_z.at[:, 0].set(jax.lax.stop_gradient(tgt_z))
+        tgt_dec = model.apply(params, z_for_tgt, embedded, scene, store,
+                              ext_future, FT, method="decode_embedding")
+        other_dec = model.apply(params, z_for_other, embedded, scene, store,
+                                ext_future, FT, method="decode_embedding")
+        return (tgt_loss_of(tgt_dec["future_pred"], tgt_z)
+                + adv_loss_of(other_dec["future_pred"], other_z))
+
+    def single_decode_vg(opt_vars):
+        tgt_z, other_z = opt_vars["tgt"], opt_vars["other"]
+        z = other_z.at[:, 0].set(tgt_z)
+
+        def dec(zz):
+            return model.apply(params, zz, embedded, scene, store, ext_future,
+                               FT, method="decode_embedding")["future_pred"]
+
+        pred, pullback = jax.vjp(dec, z)
+        lt, (ct, gt) = jax.value_and_grad(
+            tgt_loss_of, argnums=(0, 1))(pred, tgt_z)
+        la, (ca, go) = jax.value_and_grad(
+            adv_loss_of, argnums=(0, 1))(pred, other_z)
+        gz = jax.vmap(lambda c: pullback(c)[0])(jnp.stack([ct, ca]))
+        return lt + la, {"tgt": gz[0][:, 0] + gt,
+                         "other": gz[1].at[:, 0].set(0.0) + go}
+
+    v = {"tgt": z0[:, 0], "other": z0}
+    loss2, grads2 = jax.jit(jax.value_and_grad(two_decode_loss))(v)
+    loss1, grads1 = jax.jit(single_decode_vg)(v)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(grads1["tgt"]),
+                               np.asarray(grads2["tgt"]), rtol=1e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grads1["other"]),
+                               np.asarray(grads2["other"]), rtol=1e-4,
+                               atol=1e-6)
