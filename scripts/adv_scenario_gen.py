@@ -91,6 +91,10 @@ def parse_cfg(argv=None):
     parser.add_argument("--synth_scenes", type=int, default=24)
     parser.add_argument("--max_scenes", type=int, default=None,
                         help="cap on candidate scenes (for smoke runs)")
+    parser.add_argument("--mesh_devices", type=int, default=1,
+                        help="shard scene batches over this many devices "
+                             "(embarrassingly parallel scenario "
+                             "optimization, SURVEY 2.2)")
     parser.add_argument("--no_ref_compat", dest="ref_compat",
                         action="store_false", default=True,
                         help="fix the reference TgtMatchingLoss prior-weight "
@@ -152,6 +156,16 @@ def main(argv=None):
         mkdir(viz_dir)
     if cfg.save:
         mkdir(scen_dir)
+
+    mesh = None
+    if cfg.mesh_devices > 1:
+        from strive_tpu.parallel.mesh import make_mesh, shard_batch
+
+        mesh = make_mesh(cfg.mesh_devices)
+        Logger.log(f"Sharding scene batches over {cfg.mesh_devices} devices "
+                   f"({jax.devices()[0].platform})")
+    else:
+        shard_batch = None
 
     stats = {"candidates": 0, "feasible": 0, "adv_success": 0,
              "sol_success": 0, "planner_precollide": 0}
@@ -215,57 +229,87 @@ def main(argv=None):
 
         batch_ids = pending
         pending = []
-        scene = ds.get_batch(batch_ids)
+
+        def get_padded_batch(ids):
+            """Batch `ids`; with a mesh, pad B to a device multiple with
+            fully-masked scenes (losses are mask-defensive) and shard the
+            scene axis (SURVEY §2.2: embarrassingly parallel)."""
+            sc = ds.get_batch(ids)
+            if mesh is None:
+                return sc
+            pad = (-sc.B) % int(mesh.devices.size)
+            if pad:
+                idx = np.array(list(range(sc.B)) + [0] * pad)
+                sc = jax.tree_util.tree_map(lambda x: x[idx], sc)
+                mask = np.asarray(sc.mask).copy()
+                mask[len(ids):] = False
+                sc = sc.replace(mask=jnp.asarray(mask))
+            return shard_batch(sc, mesh)
+
+        def stage1_fit(sc):
+            """Embed + fit the recorded scene (reference :283-290)."""
+            emb = embed_fn(params, sc)
+            prior = emb["prior_out"]
+            z0 = emb["posterior_out"][0]
+            init_traj = sc.future_gt
+            z0, fit, _ = run_init_optim(
+                model, params, z0, init_traj, sc.future_vis, 0.1,
+                init_weights, sc, store, 75, emb, prior,
+                ref_compat=cfg.ref_compat,
+            )
+            return emb, prior, z0, init_traj, fit
+
+        def planner_refit(sc, emb, prior, z0, fit):
+            """(Re)set the rule planner for the batch, roll it on the fitted
+            scene, replace the ego target, and re-fit 100 iters
+            (reference :292-310)."""
+            init_state = np.asarray(state_norm.unnormalize(
+                sc.past_gt[:, :, -1]))
+            lw_un = np.asarray(att_norm.unnormalize(sc.lw))
+            mask_np = np.asarray(sc.mask)
+            flat_states, flat_lw, batch_of = [], [], []
+            for b in range(sc.B):
+                n = int(mask_np[b].sum())
+                flat_states.append(init_state[b, :n])
+                flat_lw.append(lw_un[b, :n])
+                batch_of.extend([b] * n)
+            planner.reset(np.concatenate(flat_states),
+                          np.concatenate(flat_lw), np.array(batch_of), sc.B,
+                          np.asarray(sc.map_idx))
+            pfn = make_planner_host_fn(planner, sc.mask, state_norm, dt,
+                                       cfg.future_len)
+            planner_init = pfn(fit)
+            init_traj_np = np.array(np.asarray(sc.future_gt))
+            init_traj_np[:, 0, :, :4] = np.asarray(planner_init)
+            init_traj = jnp.asarray(init_traj_np)
+            z0, fit, _ = run_init_optim(
+                model, params, z0, init_traj, sc.future_vis, cfg.lr,
+                init_weights, sc, store, 100, emb, prior,
+                ref_compat=cfg.ref_compat,
+            )
+            return pfn, init_traj, z0, fit
+
+        scene = get_padded_batch(batch_ids)
         B = scene.B
-        Logger.log(f"Optimizing batch of {B} scenes {batch_ids}")
+        Logger.log(f"Optimizing batch of {len(batch_ids)} scenes "
+                   f"{batch_ids}" + (f" (padded to {B})" if B
+                                     != len(batch_ids) else ""))
         t0 = time.time()
 
-        emb = embed_fn(params, scene)
-        prior = emb["prior_out"]
-        z_init = emb["posterior_out"][0]
-        init_traj = scene.future_gt
-
-        # stage 1: fit the recorded scene (reference :283-290)
-        z_init, init_fit, _ = run_init_optim(
-            model, params, z_init, init_traj, scene.future_vis, 0.1,
-            init_weights, scene, store, 75, emb, prior,
-            ref_compat=cfg.ref_compat,
-        )
+        emb, prior, z_init, init_traj, init_fit = stage1_fit(scene)
 
         planner = None
         planner_fn = None
         if cfg.planner == "hardcode":
             planner = RulePlanner(lane_graphs, store.map_names,
                                   PlannerConfig(**PLANNER_CONFIGS[cfg.planner_cfg]))
-            init_state = np.asarray(state_norm.unnormalize(
-                scene.past_gt[:, :, -1]))
+            planner_fn, init_traj, z_init, init_fit = planner_refit(
+                scene, emb, prior, z_init, init_fit)
+            # drop scenes where the planner already collides (reference :312-328)
             lw_un = np.asarray(att_norm.unnormalize(scene.lw))
             mask_np = np.asarray(scene.mask)
-            flat_states, flat_lw, batch_of = [], [], []
-            for b in range(B):
-                n = int(mask_np[b].sum())
-                flat_states.append(init_state[b, :n])
-                flat_lw.append(lw_un[b, :n])
-                batch_of.extend([b] * n)
-            planner.reset(np.concatenate(flat_states),
-                          np.concatenate(flat_lw), np.array(batch_of), B,
-                          np.asarray(scene.map_idx))
-            planner_fn = make_planner_host_fn(planner, scene.mask,
-                                              state_norm, dt,
-                                              cfg.future_len)
-            # roll planner on the fitted scene, replace ego target, refine
-            planner_init = planner_fn(init_fit)
-            init_traj_np = np.array(np.asarray(init_traj))
-            init_traj_np[:, 0, :, :4] = np.asarray(planner_init)
-            init_traj = jnp.asarray(init_traj_np)
-            z_init, init_fit, _ = run_init_optim(
-                model, params, z_init, init_traj, scene.future_vis, cfg.lr,
-                init_weights, scene, store, 100, emb, prior,
-                ref_compat=cfg.ref_compat,
-            )
-            # drop scenes where the planner already collides (reference :312-328)
             keep = []
-            for b in range(B):
+            for b in range(len(batch_ids)):
                 n = int(mask_np[b].sum())
                 fut = np.asarray(state_norm.unnormalize(init_fit[b, :n]))
                 lw_b = lw_un[b, :n]
@@ -273,49 +317,17 @@ def main(argv=None):
                                                 lw_b[1:])
                 keep.append(coll.sum() == 0)
             if not all(keep):
-                stats["planner_precollide"] += int(B - sum(keep))
+                stats["planner_precollide"] += int(len(keep) - sum(keep))
                 Logger.log("Planner pre-collision: dropping "
-                           f"{B - sum(keep)}/{B} scenes")
+                           f"{len(keep) - sum(keep)}/{len(keep)} scenes")
                 if not any(keep):
                     continue
                 batch_ids = [bi for bi, k in zip(batch_ids, keep) if k]
-                scene = ds.get_batch(batch_ids)
+                scene = get_padded_batch(batch_ids)
                 B = scene.B
-                emb = embed_fn(params, scene)
-                prior = emb["prior_out"]
-                z_init = emb["posterior_out"][0]
-                init_traj = scene.future_gt
-                z_init, init_fit, _ = run_init_optim(
-                    model, params, z_init, init_traj, scene.future_vis, 0.1,
-                    init_weights, scene, store, 75, emb, prior,
-                    ref_compat=cfg.ref_compat,
-                )
-                # redo planner setup on the reduced batch
-                init_state = np.asarray(state_norm.unnormalize(
-                    scene.past_gt[:, :, -1]))
-                lw_un = np.asarray(att_norm.unnormalize(scene.lw))
-                mask_np = np.asarray(scene.mask)
-                flat_states, flat_lw, batch_of = [], [], []
-                for b in range(B):
-                    n = int(mask_np[b].sum())
-                    flat_states.append(init_state[b, :n])
-                    flat_lw.append(lw_un[b, :n])
-                    batch_of.extend([b] * n)
-                planner.reset(np.concatenate(flat_states),
-                              np.concatenate(flat_lw), np.array(batch_of), B,
-                              np.asarray(scene.map_idx))
-                planner_fn = make_planner_host_fn(planner, scene.mask,
-                                                  state_norm, dt,
-                                                  cfg.future_len)
-                planner_init = planner_fn(init_fit)
-                init_traj_np = np.array(np.asarray(init_traj))
-                init_traj_np[:, 0, :, :4] = np.asarray(planner_init)
-                init_traj = jnp.asarray(init_traj_np)
-                z_init, init_fit, _ = run_init_optim(
-                    model, params, z_init, init_traj, scene.future_vis,
-                    cfg.lr, init_weights, scene, store, 100, emb, prior,
-                    ref_compat=cfg.ref_compat,
-                )
+                emb, prior, z_init, init_traj, init_fit = stage1_fit(scene)
+                planner_fn, init_traj, z_init, init_fit = planner_refit(
+                    scene, emb, prior, z_init, init_fit)
 
         # record the init scenario (ego = data / planner, reference :358-366)
         init_future_pred = np.array(np.asarray(init_fit))
@@ -332,8 +344,9 @@ def main(argv=None):
         min_agt = np.asarray(min_agt)
         min_t = np.asarray(min_t)
 
+        real_B = len(batch_ids)
         adv_ok = []
-        for b in range(B):
+        for b in range(real_B):
             ok, _, _ = compute_adv_gen_success(
                 final_traj[b], state_norm, att_norm, scene.lw[b],
                 scene.mask[b], int(min_agt[b]),
@@ -343,19 +356,31 @@ def main(argv=None):
         Logger.log(f"adv successes: {adv_ok}")
 
         # solution optimization on successful scenes
-        sol_ok = [False] * B
+        sol_ok = [False] * real_B
         sol_traj_store = {}
         sol_z_store = {}
-        sol_ids = [b for b in range(B) if adv_ok[b]]
+        sol_ids = [b for b in range(real_B) if adv_ok[b]]
         if sol_ids:
+            sel = list(sol_ids)
+            if mesh is not None:
+                # pad the sub-batch to a device multiple (masked rows are
+                # ignored downstream) and shard it like the main batch
+                sel = sel + [sol_ids[0]] * ((-len(sol_ids))
+                                            % int(mesh.devices.size))
             sub = jax.tree_util.tree_map(
-                lambda x: x[np.array(sol_ids)], scene)
+                lambda x: x[np.array(sel)], scene)
             sub_emb = jax.tree_util.tree_map(
-                lambda x: x[np.array(sol_ids)], emb)
+                lambda x: x[np.array(sel)], emb)
+            if mesh is not None and len(sel) > len(sol_ids):
+                mask = np.asarray(sub.mask).copy()
+                mask[len(sol_ids):] = False
+                sub = sub.replace(mask=jnp.asarray(mask))
+            if mesh is not None:
+                sub = shard_batch(sub, mesh)
             sub_prior = sub_emb["prior_out"]
             z_sol, sol_traj, _ = run_find_solution_optim(
-                model, params, z_adv[np.array(sol_ids)],
-                final_traj[np.array(sol_ids)], cfg.sol_future_len, cfg.lr,
+                model, params, z_adv[np.array(sel)],
+                final_traj[np.array(sel)], cfg.sol_future_len, cfg.lr,
                 sol_weights, sub, store, cfg.num_iters, sub_emb,
                 sub_prior, sub_prior, ref_compat=cfg.ref_compat,
             )
@@ -374,7 +399,7 @@ def main(argv=None):
 
         # save + viz per scene
         mask_np = np.asarray(scene.mask)
-        for b in range(B):
+        for b in range(real_B):
             n = int(mask_np[b].sum())
             result_dir = ("adv_failed" if not adv_ok[b]
                           else ("adv_sol_success" if sol_ok[b]

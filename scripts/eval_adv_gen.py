@@ -30,12 +30,18 @@ from strive_tpu.utils.config import add_base_args, get_parser
 from strive_tpu.utils.logger import Logger, mkdir
 from strive_tpu.viz import get_adv_coloring, render_scene
 
-# canonical metric names (reference utils/scenario_gen.py:110-118)
+# canonical metric names (reference utils/scenario_gen.py:110-118); every
+# entry here is computed by scenario_metrics when its inputs are present
 METRIC_NAMES = [
     "planner_coll_atk", "planner_coll_others", "adv_success",
-    "planner_coll_h", "planner_coll_ang", "veh_coll_rate", "env_coll_atk",
-    "z_ll_atk", "z_ll_others", "sol_coll_others", "sol_success", "sol_z_ll",
+    "planner_coll_h", "planner_coll_ang", "planner_coll_env",
+    "veh_coll_rate", "env_coll_atk", "env_coll_others",
+    "match_ext_pos", "match_ext_ang",
+    "z_ll_atk", "z_ll_others", "z_ll_internal",
+    "init_pos_diff_atk", "init_pos_diff_others",
+    "sol_coll_others", "sol_coll_env", "sol_success", "sol_z_ll",
     "sol_vel_mean", "sol_vel_max", "sol_acc_mean", "sol_acc_max",
+    "sol_hdot_mean", "sol_hdot_max",
 ]
 
 
@@ -52,8 +58,15 @@ def parse_cfg(argv=None):
     return parser.parse(argv)
 
 
-def scenario_metrics(sc, dt):
-    """Per-scenario quant metrics from a saved JSON dict."""
+def scenario_metrics(sc, dt, store=None, map_idx=0):
+    """Per-scenario quant metrics from a saved JSON dict.
+
+    Mirrors reference ``eval_adv_gen.py:339-513`` (compute_metrics):
+    the effective attacker is the agent that ACTUALLY collides when a
+    collision happened (``:371-378``), else the saved ``attack_agt``; the
+    pre-crash window CT gates plausibility metrics. ``store`` enables the
+    env-collision metrics (``:404-419``).
+    """
     import jax.numpy as jnp
 
     m = {}
@@ -66,31 +79,82 @@ def scenario_metrics(sc, dt):
     pl_i = np.asarray(interp_traj(jnp.asarray(plan)[None], 3))[0]
     ot_i = np.asarray(interp_traj(jnp.asarray(others), 3))
     coll, coll_t = check_single_veh_coll(pl_i, lw[0], ot_i, lw[1:])
-    atk = sc.get("attack_agt")
-    m["planner_coll_atk"] = (float(coll[atk - 1]) if atk is not None
-                             and 1 <= atk <= NA - 1 else float(coll.any()))
+    did_collide = bool(coll.any())
+    # effective attacker: the colliding agent when there is a collision
+    # (reference :371-378); the saved attack_agt (the most-controlled
+    # agent) otherwise. Dense index into the full scene, ego = 0.
+    saved_atk = sc.get("attack_agt")
+    if did_collide:
+        atk = int(np.argmin(coll_t)) + 1
+        t = int(coll_t[atk - 1])
+        crash_idx = int(t / 3)
+    else:
+        atk = int(saved_atk) if saved_atk is not None else None
+        crash_idx = FT - 1
+    have_atk = atk is not None and 1 <= atk <= NA - 1
+
+    m["planner_coll_atk"] = (float(coll[atk - 1]) if have_atk
+                             else float(did_collide))
     m["planner_coll_others"] = float(
-        (coll.sum() - (coll[atk - 1] if atk else 0)) > 0)
+        (coll.sum() - (coll[atk - 1] if have_atk else 0)) > 0)
     m["adv_success"] = m["planner_coll_atk"]
 
-    if coll.any():
-        first = int(np.argmin(coll_t))
-        t = int(coll_t[first])
-        atk_h = ot_i[first, t, 2:4]
+    if did_collide:
+        atk_h = ot_i[atk - 1, t, 2:4]
         pl_h = pl_i[t, 2:4]
         cosang = np.clip(np.dot(atk_h, pl_h), -1, 1)
         m["planner_coll_h"] = float(np.degrees(np.arccos(cosang)))
-        d = ot_i[first, t, :2] - pl_i[t, :2]
+        d = ot_i[atk - 1, t, :2] - pl_i[t, :2]
         d = d / max(np.linalg.norm(d), 1e-9)
         m["planner_coll_ang"] = float(np.degrees(np.arctan2(d[1], d[0])))
-        crash_idx = int(t / 3)
-    else:
-        crash_idx = FT - 1
 
     # plausibility: collisions among non-ego agents BEFORE the crash
     if NA > 2 and crash_idx > 0:
         res = check_pairwise_veh_coll(others[:, :crash_idx + 1], lw[1:])
         m["veh_coll_rate"] = res["num_coll_veh"] / max(res["num_traj_veh"], 1)
+
+    # env collisions pre-crash for planner / attacker / others (ref :404-419)
+    if store is not None and crash_idx > 0:
+        from strive_tpu.losses.training import compute_coll_rate_env_from_traj
+
+        env_coll = compute_coll_rate_env_from_traj(
+            fut[:, :crash_idx + 1, :4], lw, store, map_idx)
+        m["planner_coll_env"] = float(env_coll[0])
+        if have_atk:
+            m["env_coll_atk"] = float(env_coll[atk])
+            if NA > 2:
+                m["env_coll_others"] = float(
+                    np.mean(np.delete(env_coll[1:], atk - 1)))
+        else:
+            m["env_coll_others"] = float(np.mean(env_coll[1:])) if NA > 1 \
+                else np.nan
+
+    # planner-match accuracy: internal ego prediction vs TRUE planner up to
+    # the crash (reference :494-513)
+    if "fut_internal_ego" in sc and crash_idx > 0:
+        pred = np.asarray(sc["fut_internal_ego"])[:FT, :4]
+        ct = min(crash_idx + 1, pred.shape[0])
+        pos_err = np.linalg.norm(plan[:ct, :2] - pred[:ct, :2], axis=-1)
+        m["match_ext_pos"] = float(pos_err.mean())
+        gt_h = plan[:ct, 2:4] / np.maximum(
+            np.linalg.norm(plan[:ct, 2:4], axis=-1, keepdims=True), 1e-9)
+        pr_h = pred[:ct, 2:4] / np.maximum(
+            np.linalg.norm(pred[:ct, 2:4], axis=-1, keepdims=True), 1e-9)
+        cosang = np.clip(np.sum(gt_h * pr_h, axis=-1), -1, 1)
+        m["match_ext_ang"] = float(np.degrees(np.arccos(cosang)).mean())
+
+    # how far the optimization moved agents from their initial futures
+    if "scene_init" in sc:
+        init = np.asarray(sc["scene_init"])[:, :FT, :4]
+        diff = np.linalg.norm(fut[:, :init.shape[1], :2] - init[:, :, :2],
+                              axis=-1).mean(axis=-1)  # (NA,)
+        if have_atk:
+            m["init_pos_diff_atk"] = float(diff[atk])
+            if NA > 2:
+                m["init_pos_diff_others"] = float(
+                    np.mean(np.delete(diff[1:], atk - 1)))
+        elif NA > 1:
+            m["init_pos_diff_others"] = float(np.mean(diff[1:]))
 
     # latent likelihoods under the saved prior
     if "z_adv" in sc and "z_prior" in sc:
@@ -98,12 +162,13 @@ def scenario_metrics(sc, dt):
         mu = sc["z_prior"]["mean"]
         var = sc["z_prior"]["var"]
         ll = np.asarray(log_normal(z, mu, var))
-        if atk is not None and 1 <= atk < NA:
+        m["z_ll_internal"] = float(ll[0])
+        if have_atk:
             m["z_ll_atk"] = float(ll[atk])
             m["z_ll_others"] = float(np.mean(np.delete(ll[1:], atk - 1))) \
                 if NA > 2 else np.nan
         else:
-            m["z_ll_others"] = float(np.mean(ll[1:]))
+            m["z_ll_others"] = float(np.mean(ll[1:])) if NA > 1 else np.nan
 
     # solution metrics
     if "scene_sol" in sc:
@@ -112,6 +177,19 @@ def scenario_metrics(sc, dt):
         scoll, _ = check_single_veh_coll(sol_i, lw[0], ot_i, lw[1:])
         m["sol_coll_others"] = float(scoll.any())
         m["sol_success"] = float(~scoll.any())
+        if store is not None:
+            from strive_tpu.losses.training import (
+                compute_coll_rate_env_from_traj)
+
+            sol_env = compute_coll_rate_env_from_traj(
+                sol[None], lw[0:1], store, map_idx)
+            m["sol_coll_env"] = float(sol_env[0])
+        if "z_sol" in sc and "z_prior" in sc:
+            zs = np.asarray(sc["z_sol"])
+            lls = np.asarray(log_normal(
+                zs[0:1], np.asarray(sc["z_prior"]["mean"])[0:1],
+                np.asarray(sc["z_prior"]["var"])[0:1]))
+            m["sol_z_ll"] = float(lls[0])
         vel = np.linalg.norm(np.diff(sol[:, :2], axis=0), axis=-1) / dt
         acc = np.abs(np.diff(vel)) / dt
         m["sol_vel_mean"] = float(vel.mean())
@@ -119,6 +197,14 @@ def scenario_metrics(sc, dt):
         if len(acc):
             m["sol_acc_mean"] = float(acc.mean())
             m["sol_acc_max"] = float(acc.max())
+        # heading-rate comfort (reference sol_hdot_* in METRIC_NAMES)
+        h = sol[:, 2:4] / np.maximum(
+            np.linalg.norm(sol[:, 2:4], axis=-1, keepdims=True), 1e-9)
+        ang = np.unwrap(np.arctan2(h[:, 1], h[:, 0]))
+        hdot = np.abs(np.diff(ang)) / dt
+        if len(hdot):
+            m["sol_hdot_mean"] = float(hdot.mean())
+            m["sol_hdot_max"] = float(hdot.max())
     return m
 
 
@@ -147,13 +233,22 @@ def main(argv=None):
         with open(cfg.cluster_pkl, "rb") as f:
             clustering = pickle.load(f)
 
+    store = None
+    if cfg.eval_quant or cfg.eval_qual:
+        # 8 px/m for qualitative re-rendering (reference eval_adv_gen.py:683)
+        _, store, _, _, _ = load_environment(
+            cfg, "val", pix_per_m=8.0 if cfg.eval_qual else None)
+
     if cfg.eval_quant:
         from cluster_scenarios import compute_coll_feat
 
         rows, names = [], []
         for t in taxonomy:
             for sc in all_scenes[t]:
-                m = scenario_metrics(sc, sc.get("dt", 0.5))
+                map_idx = (store.map_names.index(sc["map"])
+                           if sc["map"] in store.map_names else 0)
+                m = scenario_metrics(sc, sc.get("dt", 0.5), store=store,
+                                     map_idx=map_idx)
                 m["taxonomy"] = t
                 if clustering is not None:
                     f = compute_coll_feat(np.asarray(sc["veh_att"]),
@@ -186,7 +281,6 @@ def main(argv=None):
                 w.writerow([k, np.mean(agg[k]), len(agg[k])])
 
     if cfg.eval_qual:
-        _, store, _, _, _ = load_environment(cfg, "val")
         for t in taxonomy:
             for sc in all_scenes[t]:
                 map_idx = (store.map_names.index(sc["map"])

@@ -37,6 +37,10 @@ def parse_cfg(argv=None):
     parser.add_argument("--samp_future_len", type=int, default=16)
     parser.add_argument("--save_future_len", type=int, default=12)
     parser.add_argument("--num_iters", type=int, default=200)
+    parser.add_argument("--optim_use_lbfgs", dest="optim_use_adam",
+                        action="store_false", default=True,
+                        help="use LBFGS instead of Adam (reference "
+                             "refine_traffic_optim.py:53-55)")
     parser.add_argument("--lr", type=float, default=0.05)
     parser.add_argument("--loss_coll_veh", type=float, default=100.0)
     parser.add_argument("--loss_coll_env", type=float, default=100.0)
@@ -113,6 +117,7 @@ def main(argv=None):
             model, params, z0, cfg.lr, weights, scene, store, cfg.num_iters,
             emb, emb["prior_out"], samp_future_len=cfg.samp_future_len,
             save_future_len=cfg.save_future_len,
+            optimizer="adam" if cfg.optim_use_adam else "lbfgs",
         )
         Logger.log("refined %d scenes in %.1fs" % (scene.B,
                                                    time.time() - t0))

@@ -10,7 +10,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import numpy as np
 
-from strive_tpu.data.dataset import batch_iterator
+from strive_tpu.data.dataset import bucketed_batch_iterator as batch_iterator
 from strive_tpu.data.loading import load_environment
 from strive_tpu.losses.metrics import compute_coll_rate_veh_dense
 from strive_tpu.losses.training import (
@@ -87,6 +87,10 @@ def main(argv=None):
                            False, cfg.test_sample_future_len,
                            method="sample_batched")
 
+    @jax.jit
+    def recon_step(params, scene):
+        return model.apply(params, scene, store, method="reconstruct")
+
     metrics = {}
 
     def acc(k, v):
@@ -119,6 +123,40 @@ def main(argv=None):
                 n_traj = float(np.asarray(scene.mask).sum()
                                * samp["future_pred"].shape[1])
                 acc("coll_rate_veh", did.sum() / max(n_traj, 1))
+        # reconstruction-based evaluations (reference test_traffic.py:137-167)
+        if cfg.test_recon_viz_multi or cfg.test_recon_coll_rate:
+            recon = recon_step(params, scene)
+            recon_fut = recon["future_pred"][:, None]  # 1 "sample"
+            if cfg.test_recon_coll_rate:
+                env = compute_coll_rate_env(scene, recon_fut, store,
+                                            state_norm, att_norm,
+                                            ego_only=True)
+                acc("recon_coll_rate_env",
+                    float(env["num_coll_map"])
+                    / max(float(env["num_traj_map"]), 1))
+                fut_un = np.asarray(state_norm.unnormalize(recon_fut))
+                lw_un = np.asarray(att_norm.unnormalize(scene.lw))
+                did = compute_coll_rate_veh_dense(fut_un, lw_un,
+                                                  np.asarray(scene.mask))
+                n_traj = float(np.asarray(scene.mask).sum())
+                acc("recon_coll_rate_veh", did.sum() / max(n_traj, 1))
+            if cfg.test_recon_viz_multi and i < 3:
+                for b in range(min(scene.B, 2)):
+                    render_scene(
+                        os.path.join(cfg.out, "viz",
+                                     f"recon_multi_{i}_{b}.jpg"), store,
+                        int(scene.map_idx[b]),
+                        np.asarray(state_norm.unnormalize(scene.past_gt[b])),
+                        np.asarray(state_norm.unnormalize(
+                            recon["future_pred"][b])),
+                        np.asarray(att_norm.unnormalize(scene.lw[b])),
+                        scene.mask[b], title=f"recon batch {i} scene {b}",
+                        gt_future=np.asarray(state_norm.unnormalize(
+                            scene.future_gt[b, :, :, :4])),
+                    )
+
+        if (cfg.test_sample_disp_err or cfg.test_sample_coll_rate
+                or cfg.test_sample_viz_multi):
             if cfg.test_sample_viz_multi and i < 3:
                 fut_un = np.asarray(state_norm.unnormalize(
                     samp["future_pred"][0, 0]))

@@ -11,7 +11,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import numpy as np
 
-from strive_tpu.data.dataset import batch_iterator
+from strive_tpu.data.dataset import bucketed_batch_iterator as batch_iterator
 from strive_tpu.data.loading import load_environment
 from strive_tpu.model.traffic_model import NormConfig, TrafficModel
 from strive_tpu.train import Trainer, compute_kl_weight

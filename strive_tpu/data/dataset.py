@@ -35,12 +35,27 @@ def _trim_scene(sc, na_max):
 
 
 class SceneDataset:
-    """A list of per-scene dicts with padding/bucketing into SceneBatches."""
+    """A list of per-scene dicts with padding/bucketing into SceneBatches.
 
-    def __init__(self, scenes: List[dict], na_max: int, nc: int):
-        self.scenes = [_trim_scene(s, na_max) for s in scenes]
-        self.na_max = na_max
+    With ``buckets`` (e.g. ``(8, 16, 32)``, SURVEY §7.1), dense scenes KEEP
+    all their agents up to the largest bucket — matching the reference,
+    which never drops agents (``nuscenes_dataset.py:605-649``) — and
+    ``bucketed_batch_iterator`` groups same-bucket scenes so jit compiles
+    one variant per bucket instead of padding everything to the max.
+    Without buckets, scenes are trimmed to ``na_max`` (ego + nearest).
+    """
+
+    def __init__(self, scenes: List[dict], na_max: int, nc: int,
+                 buckets=None):
+        if buckets:
+            buckets = tuple(sorted(set(int(b) for b in buckets)))
+            cap = buckets[-1]
+        else:
+            cap = na_max
+        self.scenes = [_trim_scene(s, cap) for s in scenes]
+        self.na_max = cap
         self.nc = nc
+        self.buckets = buckets
 
     def __len__(self):
         return len(self.scenes)
@@ -48,9 +63,20 @@ class SceneDataset:
     def scene_dict(self, i):
         return self.scenes[i]
 
-    def get_batch(self, indices) -> SceneBatch:
+    def bucket_of(self, i) -> int:
+        """Smallest bucket holding scene i (na_max without buckets)."""
+        na = self.scenes[i]["past"].shape[0]
+        if not self.buckets:
+            return self.na_max
+        for b in self.buckets:
+            if na <= b:
+                return b
+        return self.buckets[-1]
+
+    def get_batch(self, indices, na=None) -> SceneBatch:
         return pad_scene_arrays([self.scene_dict(i) for i in indices],
-                                self.na_max, self.nc)
+                                na if na is not None else self.na_max,
+                                self.nc)
 
 
 class ConcatSceneDataset:
@@ -97,3 +123,45 @@ def batch_iterator(ds: SceneDataset, batch_size: int, shuffle=True,
             yield batch.replace(mask=jnp.asarray(mask))
         else:
             yield ds.get_batch(idx)
+
+
+def bucketed_batch_iterator(ds, batch_size: int, shuffle=True,
+                            seed: Optional[int] = 0,
+                            drop_last=False) -> Iterator[SceneBatch]:
+    """Yield SceneBatches where every batch contains scenes of ONE NA
+    bucket, padded to that bucket's agent count.
+
+    Replaces the reference's dynamic Σ-NA batching
+    (``adv_scenario_gen.py:228-256``) with a jit-friendly scheme: at most
+    ``len(ds.buckets)`` compiled variants, and dense scenes keep all their
+    agents instead of being trimmed (VERDICT r1 item 7).
+    """
+    if not getattr(ds, "buckets", None):
+        yield from batch_iterator(ds, batch_size, shuffle=shuffle, seed=seed,
+                                  drop_last=drop_last)
+        return
+    by_bucket = {}
+    for i in range(len(ds)):
+        by_bucket.setdefault(ds.bucket_of(i), []).append(i)
+    rng = np.random.default_rng(seed)
+    order = sorted(by_bucket)
+    if shuffle:
+        rng.shuffle(order)
+    import jax.numpy as jnp
+
+    for b in order:
+        idx = np.asarray(by_bucket[b])
+        if shuffle:
+            rng.shuffle(idx)
+        for start in range(0, len(idx), batch_size):
+            sel = idx[start : start + batch_size]
+            if len(sel) < batch_size:
+                if drop_last:
+                    continue
+                pad_n = batch_size - len(sel)
+                batch = ds.get_batch(list(sel) + [int(idx[0])] * pad_n, na=b)
+                mask = np.asarray(batch.mask).copy()
+                mask[len(sel):] = False
+                yield batch.replace(mask=jnp.asarray(mask))
+            else:
+                yield ds.get_batch(list(sel), na=b)

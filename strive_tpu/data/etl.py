@@ -140,7 +140,12 @@ class WindowedSceneDataset:
     def __init__(self, scenes, na_max, nc, past_len, future_len,
                  state_norm: MeanStdNormalizer, att_norm: MeanStdNormalizer,
                  seq_interval=1, noise_std=0.0, seed=0,
-                 require_full_past=False, include_final_window=False):
+                 require_full_past=False, include_final_window=False,
+                 buckets=None):
+        if buckets:
+            buckets = tuple(sorted(set(int(b) for b in buckets)))
+            na_max = buckets[-1]
+        self.buckets = buckets
         self.scenes = scenes
         self.na_max = na_max
         self.nc = nc
@@ -211,11 +216,33 @@ class WindowedSceneDataset:
             ).astype(np.float32)
         return _trim_scene(out, self.na_max)
 
-    def get_batch(self, indices):
+    def window_na(self, wi):
+        """Agent count of a window (cheap; no normalization)."""
+        si, sidx = self.windows[wi]
+        sc = self.scenes[si]
+        traj = sc["traj"][:, sidx : sidx + self.PT + self.FT]
+        keep = ~np.isnan(traj[:, self.PT - 1]).any(axis=-1)
+        keep[0] = True
+        if self.require_full_past:
+            keep &= ~np.isnan(traj[:, : self.PT]).any(axis=(1, 2))
+            keep[0] = True
+        return min(int(keep.sum()), self.na_max)
+
+    def bucket_of(self, i) -> int:
+        if not self.buckets:
+            return self.na_max
+        na = self.window_na(i)
+        for b in self.buckets:
+            if na <= b:
+                return b
+        return self.buckets[-1]
+
+    def get_batch(self, indices, na=None):
         from ..scene import pad_scene_arrays
 
         return pad_scene_arrays([self.window_scene(i) for i in indices],
-                                self.na_max, self.nc)
+                                na if na is not None else self.na_max,
+                                self.nc)
 
 
 def load_etl_dataset(etl_dir, split, cfg, state_norm, att_norm,
@@ -246,10 +273,13 @@ def load_etl_dataset(etl_dir, split, cfg, state_norm, att_norm,
             scenes.append(payload[name])
 
     nc = len(cfg.agent_types)
+    from .loading import parse_buckets
+
     ds = WindowedSceneDataset(
         scenes, cfg.max_agents, nc, cfg.past_len, cfg.future_len,
         state_norm, att_norm,
         seq_interval=getattr(cfg, "seq_interval", 1),
         noise_std=getattr(cfg, "data_noise_std", 0.0),
+        buckets=parse_buckets(cfg),
     )
     return ds, store, lgs, state_norm, att_norm

@@ -15,18 +15,32 @@ import os
 import numpy as np
 
 from ..maps.lanegraph import synthetic_lanegraph
-from ..maps.store import MapStore, synthetic_map_store
+from ..maps.store import MapStore, synthetic_map_store, upsample_store
 from ..normalize import att_normalizer_for, state_normalizer_for
 from .dataset import SceneDataset
 from .synthetic import synthetic_scene_list
 
 
-def load_environment(cfg, split="train", load_lanegraph=False):
+def parse_buckets(cfg):
+    """cfg.na_buckets 'a,b,c' -> tuple | None."""
+    raw = getattr(cfg, "na_buckets", None)
+    if not raw:
+        return None
+    return tuple(int(x) for x in str(raw).split(",") if x.strip())
+
+
+def load_environment(cfg, split="train", load_lanegraph=False,
+                     pix_per_m=None):
     """Returns (SceneDataset, MapStore, lane_graphs|None, state_norm, att_norm).
 
     For 'synthetic', fabricates NUM_SYNTH scenes deterministically per
     split. For real nuScenes, loads the ETL output directory
     ``{data_dir}/strive_tpu_etl/{version}``.
+
+    :param pix_per_m: optional raster resolution override (the reference
+        re-rasterizes at 8 px/m for qualitative eval, ``eval_adv_gen.py:683``).
+        Synthetic maps are regenerated at that resolution; ETL rasters are
+        integer-upsampled (nearest) since re-rasterization needs the devkit.
     """
     cats = tuple(sorted(cfg.agent_types))
     state_norm = state_normalizer_for(cats)
@@ -38,12 +52,15 @@ def load_environment(cfg, split="train", load_lanegraph=False):
         num = getattr(cfg, "synth_scenes", 24)
         store = synthetic_map_store(num_maps=2, size_px=512, channels=4,
                                     pix_per_m=4.0)
+        if pix_per_m is not None and pix_per_m > 4.0:
+            store = upsample_store(store, int(round(pix_per_m / 4.0)))
         scenes = synthetic_scene_list(
             num_scenes=num, num_maps=2, map_size_px=512, PT=cfg.past_len,
             FT=cfg.future_len, NC=nc, min_agents=2,
             max_agents=cfg.max_agents, seed=seed, categories=cats,
         )
-        ds = SceneDataset(scenes, cfg.max_agents, nc)
+        ds = SceneDataset(scenes, cfg.max_agents, nc,
+                          buckets=parse_buckets(cfg))
         lgs = None
         if load_lanegraph:
             lg = synthetic_lanegraph(extent_m=128.0, spacing_m=32.0)
@@ -59,6 +76,10 @@ def load_environment(cfg, split="train", load_lanegraph=False):
     ds, store, lgs, state_norm, att_norm = load_etl_dataset(
         etl_dir, split, cfg, state_norm, att_norm,
         load_lanegraph=load_lanegraph)
+    if pix_per_m is not None:
+        native = 1.0 / float(np.max(np.asarray(store.dx)))
+        if pix_per_m > native:
+            store = upsample_store(store, int(round(pix_per_m / native)))
     ds = _maybe_append_scenarios(ds, cfg, split, store, state_norm, att_norm,
                                  nc)
     return ds, store, lgs, state_norm, att_norm

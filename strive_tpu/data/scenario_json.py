@@ -96,6 +96,9 @@ def read_adv_scenes(scene_path):
             cur["sem"] = np.array(jdict["sem"], np.float32)
         if "fut_sol" in jdict:
             cur["scene_sol"] = np.array(jdict["fut_sol"], np.float32)
+        if "fut_internal_ego" in jdict:
+            cur["fut_internal_ego"] = np.array(jdict["fut_internal_ego"],
+                                               np.float32)
         if "fut_init" in jdict:
             cur["scene_init"] = np.array(jdict["fut_init"], np.float32)
         if "z_prior" in jdict:
@@ -105,5 +108,7 @@ def read_adv_scenes(scene_path):
             }
         if "z_adv" in jdict:
             cur["z_adv"] = np.array(jdict["z_adv"], np.float32)
+        if "z_sol" in jdict:
+            cur["z_sol"] = np.array(jdict["z_sol"], np.float32)
         scene_list.append(cur)
     return scene_list

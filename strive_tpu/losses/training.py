@@ -8,6 +8,7 @@ TrafficModelLoss (:20-118), compute_err (:120-164), compute_disp_err
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..maps.queries import check_on_layer
 from ..scene import SceneBatch
@@ -176,3 +177,26 @@ def compute_coll_rate_env(scene: SceneBatch, future_pred, map_store,
         "num_coll_map": jnp.sum(did).astype(jnp.float32),
         "num_traj_map": n_traj,
     }
+
+
+def compute_coll_rate_env_from_traj(fut_unnorm, lw_unnorm, map_store, map_idx):
+    """Per-agent map collision over an UNNORMALIZED trajectory batch
+    (reference ``losses/traffic_model.py:366-419`` /
+    ``compute_coll_rate_env_from_traj`` as used by ``eval_adv_gen.py:404``).
+
+    :param fut_unnorm: (NA, T, 4) world-frame trajectories (NaN frames ok)
+    :param lw_unnorm: (NA, 2)
+    :param map_idx: int map index
+    :return: (NA,) bool did_collide
+    """
+    fut = jnp.asarray(fut_unnorm)
+    NA, T = fut.shape[:2]
+    valid = ~jnp.isnan(fut).any(-1)  # (NA, T)
+    flat = jnp.where(valid[..., None], fut, 0.0).reshape(NA * T, 4)
+    lw_flat = jnp.broadcast_to(jnp.asarray(lw_unnorm)[:, None, :],
+                               (NA, T, 2)).reshape(-1, 2)
+    mapix = jnp.full((NA * T,), int(map_idx), jnp.int32)
+    frac = check_on_layer(map_store.drivable(), map_store.dx, flat, lw_flat,
+                          mapix).reshape(NA, T)
+    coll_frame = (frac < (1.0 - ENV_COLL_THRESH)) & valid
+    return np.asarray(jnp.any(coll_frame, axis=-1))

@@ -101,6 +101,11 @@ def add_base_args(parser):
     # TPU-specific additions
     parser.add_argument("--max_agents", type=int, default=16,
                         help="Padded agents per scene (NA bucketing cap).")
+    parser.add_argument("--na_buckets", type=str, default=None,
+                        help="comma-separated NA bucket sizes (e.g. 8,16,32):"
+                             " scenes keep ALL agents up to the largest "
+                             "bucket and batches group same-bucket scenes "
+                             "(SURVEY 7.1; default: trim to max_agents)")
     parser.add_argument("--bf16", action="store_true", default=False,
                         help="Run model matmuls in bfloat16.")
     return parser

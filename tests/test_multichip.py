@@ -49,3 +49,31 @@ def test_dryrun_multichip_prearranged_env(n_devices):
                          capture_output=True, text=True, timeout=1500)
     assert res.returncode == 0, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr}"
     assert "OK" in res.stdout
+
+
+def test_adv_script_sharded_on_cpu_mesh(tmp_path):
+    """The FULL adv_scenario_gen script with --mesh_devices 8 on a virtual
+    CPU mesh: scene batches are sharded over the scenes axis and the
+    pipeline still writes valid scenario JSONs (VERDICT r1 item 3)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
+    out = str(tmp_path / "advmesh")
+    res = subprocess.run(
+        [sys.executable, "scripts/adv_scenario_gen.py",
+         "-c", "configs/adv_gen_synthetic.cfg", "--out", out, "--save",
+         "--mesh_devices", "8", "--batch_size", "3", "--num_iters", "4",
+         "--num_samples", "4", "--max_scenes", "6"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1500)
+    assert res.returncode == 0, f"stdout:\n{res.stdout[-2000:]}\n" \
+                                f"stderr:\n{res.stderr[-4000:]}"
+    import glob
+    import json
+    jsons = glob.glob(os.path.join(out, "scenario_results", "*", "*.json"))
+    assert jsons, "no scenario JSONs written"
+    sc = json.load(open(jsons[0]))
+    for k in ("N", "dt", "map", "lw", "past", "fut_init", "fut_adv"):
+        assert k in sc
