@@ -81,6 +81,7 @@ def extract_scenes(nusc, scene2map, map_list, key2cat, categories,
         flip = flip_singapore and mname.startswith("singapore")
         sc = raw.setdefault(scene, {"ego": {"rows": [], "l": 4.084, "w": 1.73,
                                             "k": "car"}})
+        sc.setdefault("_samples", []).append((rec["timestamp"], rec["token"]))
         ego = nusc.get("ego_pose", nusc.get(
             "sample_data", rec["data"]["LIDAR_TOP"])["ego_pose_token"])
         rot = Quaternion(ego["rotation"]).rotation_matrix
@@ -106,6 +107,7 @@ def extract_scenes(nusc, scene2map, map_list, key2cat, categories,
                               rec["timestamp"]))
     out = {}
     for scene, agents in raw.items():
+        sample_rows = sorted(agents.pop("_samples", []))
         ego_rows = agents["ego"]["rows"]
         t_index = {r[4]: i for i, r in enumerate(ego_rows)}
         T = len(ego_rows)
@@ -134,14 +136,25 @@ def extract_scenes(nusc, scene2map, map_list, key2cat, categories,
             "map_idx": map_list.index(scene2map[scene]),
             "name": scene,
             "kinds": kinds,
+            # instance tokens per agent / sample tokens per timestep — the
+            # addressing the prediction-challenge splits use
+            # (reference nuscenes_dataset.py:494-581)
+            "agent_tokens": names,
+            "sample_tokens": [tok for _, tok in sample_rows],
         }
     return out
 
 
-def apply_drivable_filter(scenes, raster, dx, carpark_channel):
+def apply_drivable_filter(scenes, raster, dx, carpark_channel,
+                          challenge_keep=None):
     """Drop agent frames off drivable (<30%) or on carpark (>=30%)
-    (reference ``nuscenes_dataset.py:504-522``). Runs with jax on whatever
-    backend is available."""
+    (reference ``nuscenes_dataset.py:504-522``). Agents with ANY
+    prediction-challenge frame bypass the filter entirely (reference
+    ``:494-505``: "need all frames of any vehicles that we need to make a
+    pred for").
+
+    :param challenge_keep: optional {scene: (NAg,) bool} challenge agents
+    """
     import jax.numpy as jnp
 
     from strive_tpu.maps.queries import check_on_layer
@@ -168,6 +181,8 @@ def apply_drivable_filter(scenes, raster, dx, carpark_channel):
         bad &= valid_in
         bad = bad.reshape(NAg, T)
         bad[0] = False  # never filter ego
+        if challenge_keep is not None and sc["name"] in challenge_keep:
+            bad[challenge_keep[sc["name"]]] = False
         sc["traj"][bad] = np.nan
         sc["vis"][bad] = 0.0
     return scenes
@@ -183,6 +198,11 @@ def main():
     ap.add_argument("--layers", nargs="+",
                     default=["drivable_area", "carpark_area", "road_divider",
                              "lane_divider"])
+    ap.add_argument("--use_challenge_splits", action="store_true",
+                    default=False,
+                    help="record nuScenes prediction-challenge split "
+                         "membership + anchors (reference "
+                         "nuscenes_dataset.py:35-62,332-341)")
     args = ap.parse_args()
 
     from nuscenes.nuscenes import NuScenes
@@ -226,18 +246,61 @@ def main():
         scene2map[rec["name"]] = log["location"]
 
     scenes = extract_scenes(nusc, scene2map, map_list, key2cat, categories)
+
+    challenge_scenes = None
+    challenge_keep = None
+    if args.use_challenge_splits:
+        from nuscenes.utils.splits import create_splits_scenes
+
+        from strive_tpu.data.etl import challenge_split_scenes
+
+        pred_path = os.path.join(data_path, "maps", "prediction",
+                                 "prediction_scenes.json")
+        with open(pred_path) as f:
+            prediction_scenes = json.load(f)
+        official = create_splits_scenes()
+        challenge_scenes = {
+            split: challenge_split_scenes(prediction_scenes,
+                                          official["train"], official["val"],
+                                          split)
+            for split in ("train", "val", "test")
+        }
+        # agents with challenge frames bypass the drivable filter
+        challenge_keep = {}
+        all_tokens = {}
+        for split_map in challenge_scenes.values():
+            for sname, toks in split_map.items():
+                all_tokens.setdefault(sname, []).extend(toks)
+        for sname, toks in all_tokens.items():
+            if sname not in scenes:
+                continue
+            sc = scenes[sname]
+            keep = np.zeros(len(sc["agent_tokens"]), bool)
+            tok2agent = {t: i for i, t in enumerate(sc["agent_tokens"])}
+            for inst_samp in toks:
+                inst = inst_samp.rsplit("_", 1)[0]
+                if inst in tok2agent:
+                    keep[tok2agent[inst]] = True
+            challenge_keep[sname] = keep
+
     carpark_chan = (1 + [l for l in args.layers if l not in ROAD_LAYERS]
                     .index("carpark_area")
                     if "carpark_area" in args.layers else None)
-    scenes = apply_drivable_filter(scenes, raster, dx, carpark_chan)
+    scenes = apply_drivable_filter(scenes, raster, dx, carpark_chan,
+                                   challenge_keep=challenge_keep)
 
     np.savez_compressed(os.path.join(out_dir, "scenes.npz"),
                         scenes=np.array(scenes, dtype=object))
+    meta = {"map_names": map_list,
+            "scene_names": sorted(scenes.keys()),
+            "version": args.version,
+            "categories": categories}
+    if challenge_scenes is not None:
+        meta["challenge_scenes"] = {
+            split: {s: toks for s, toks in m.items() if s in scenes}
+            for split, m in challenge_scenes.items()}
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
-        json.dump({"map_names": map_list,
-                   "scene_names": sorted(scenes.keys()),
-                   "version": args.version,
-                   "categories": categories}, f)
+        json.dump(meta, f)
     print(f"Wrote ETL artifacts to {out_dir}")
 
 

@@ -104,6 +104,48 @@ def states_from_xyh(x, h, t):
     return traj, accel, (~no_vis).astype(np.float32)
 
 
+NUM_IN_TRAIN_VAL_CHALLENGE = 200  # reference nuscenes_dataset.py:34
+
+
+def challenge_split_scenes(prediction_scenes, official_train, official_val,
+                           split):
+    """nuScenes prediction-challenge scene selection (reference
+    ``nuscenes_dataset.py:35-62`` + the chall_split_map at ``:332-341``):
+    our 'train' is the challenge train (official train scenes after the
+    first 200), 'val' the challenge train_val (first 200), 'test' the
+    official val split.
+
+    :param prediction_scenes: scene_name -> ["{inst_tok}_{samp_tok}", ...]
+        (the devkit's maps/prediction/prediction_scenes.json, plain JSON)
+    :return: {scene_name: [inst_samp_tok, ...]} for the split
+    """
+    if split == "train":
+        names = official_train[NUM_IN_TRAIN_VAL_CHALLENGE:]
+    elif split == "val":
+        names = official_train[:NUM_IN_TRAIN_VAL_CHALLENGE]
+    else:
+        names = official_val
+    return {s: prediction_scenes.get(s, []) for s in names}
+
+
+def challenge_anchors_for_scene(sc, tokens):
+    """(agent_idx, t_idx) anchors for a scene's challenge tokens.
+
+    The reference anchors each prediction case so the LAST PAST FRAME is
+    the challenge sample frame (``nuscenes_dataset.py:573-581``).
+    Requires the scene dict to carry ``agent_tokens`` (per agent) and
+    ``sample_tokens`` (per timestep) from preprocessing.
+    """
+    tok2agent = {t: i for i, t in enumerate(sc.get("agent_tokens", []))}
+    tok2t = {t: i for i, t in enumerate(sc.get("sample_tokens", []))}
+    anchors = []
+    for inst_samp in tokens:
+        inst, samp = inst_samp.rsplit("_", 1)
+        if inst in tok2agent and samp in tok2t:
+            anchors.append((tok2agent[inst], tok2t[samp]))
+    return anchors
+
+
 def split_scene_names(all_scene_names, split, version, val_size=200,
                       randomize_val=False):
     """Reference get_scenes (:292-341), minus challenge splits."""
@@ -141,7 +183,7 @@ class WindowedSceneDataset:
                  state_norm: MeanStdNormalizer, att_norm: MeanStdNormalizer,
                  seq_interval=1, noise_std=0.0, seed=0,
                  require_full_past=False, include_final_window=False,
-                 buckets=None):
+                 buckets=None, challenge=False):
         if buckets:
             buckets = tuple(sorted(set(int(b) for b in buckets)))
             na_max = buckets[-1]
@@ -162,10 +204,21 @@ class WindowedSceneDataset:
         # because saved scenarios are exactly seq_len long (PARITY.md)
         end_off = 1 if include_final_window else 0
         self.windows = []
-        for si, sc in enumerate(scenes):
-            T = sc["traj"].shape[1]
-            for start in range(0, T - seq_len + end_off, seq_interval):
-                self.windows.append((si, start))
+        if challenge:
+            # one window per challenge prediction case, anchored so the
+            # last past frame is the challenge sample frame (reference
+            # nuscenes_dataset.py:573-581)
+            for si, sc in enumerate(scenes):
+                T = sc["traj"].shape[1]
+                for ai, t in sc.get("challenge_anchors", []):
+                    start = int(t) - past_len + 1
+                    if start >= 0 and start + seq_len <= T:
+                        self.windows.append((si, start))
+        else:
+            for si, sc in enumerate(scenes):
+                T = sc["traj"].shape[1]
+                for start in range(0, T - seq_len + end_off, seq_interval):
+                    self.windows.append((si, start))
 
     def __len__(self):
         return len(self.windows)
@@ -262,15 +315,31 @@ def load_etl_dataset(etl_dir, split, cfg, state_norm, att_norm,
         with open(os.path.join(etl_dir, "lane_graphs.pkl"), "rb") as f:
             lgs = pickle.load(f)
 
-    names = split_scene_names(meta["scene_names"], split, meta["version"],
-                              val_size=getattr(cfg, "val_size", 200),
-                              randomize_val=getattr(cfg, "random_val", True))
+    use_challenge = bool(getattr(cfg, "use_challenge_splits", False))
+    if use_challenge:
+        chall = meta.get("challenge_scenes")
+        if not chall:
+            raise ValueError(
+                "--use_challenge_splits requires an ETL produced with "
+                "preprocess_nuscenes.py --use_challenge_splits")
+        names = sorted(chall[split])
+    else:
+        names = split_scene_names(
+            meta["scene_names"], split, meta["version"],
+            val_size=getattr(cfg, "val_size", 200),
+            randomize_val=getattr(cfg, "random_val", True))
     scenes = []
     with np.load(os.path.join(etl_dir, "scenes.npz"), allow_pickle=True) as z:
         payload = z["scenes"].item()
     for name in names:
         if name in payload:
-            scenes.append(payload[name])
+            sc = payload[name]
+            if use_challenge:
+                # meta["challenge_scenes"] = {split: {scene: [tokens]}}
+                sc = dict(sc)
+                sc["challenge_anchors"] = challenge_anchors_for_scene(
+                    sc, chall[split].get(name, []))
+            scenes.append(sc)
 
     nc = len(cfg.agent_types)
     from .loading import parse_buckets
@@ -281,5 +350,6 @@ def load_etl_dataset(etl_dir, split, cfg, state_norm, att_norm,
         seq_interval=getattr(cfg, "seq_interval", 1),
         noise_std=getattr(cfg, "data_noise_std", 0.0),
         buckets=parse_buckets(cfg),
+        challenge=use_challenge,
     )
     return ds, store, lgs, state_norm, att_norm

@@ -168,3 +168,67 @@ def test_bucketed_iterator_falls_back_without_buckets():
     batches = list(bucketed_batch_iterator(ds, 2, shuffle=False))
     assert all(b.NA == 8 for b in batches)
     assert len(batches) == 3
+
+
+def test_challenge_split_scene_selection():
+    """Reference get_prediction_challenge_split + chall_split_map
+    (nuscenes_dataset.py:35-62,332-341): train = official train scenes
+    after the first 200, val = first 200, test = official val."""
+    from strive_tpu.data.etl import challenge_split_scenes
+
+    train = ["scene-%04d" % i for i in range(700)]
+    val = ["scene-%04d" % i for i in range(700, 850)]
+    pred = {s: [f"i{s}_s{s}"] for s in train + val}
+    tr = challenge_split_scenes(pred, train, val, "train")
+    va = challenge_split_scenes(pred, train, val, "val")
+    te = challenge_split_scenes(pred, train, val, "test")
+    assert len(tr) == 500 and len(va) == 200 and len(te) == 150
+    assert not set(tr) & set(va)
+    assert sorted(va) == train[:200]
+    assert sorted(te) == sorted(val)
+    assert tr["scene-0200"] == ["iscene-0200_sscene-0200"]
+
+
+def test_challenge_anchored_windows():
+    """Challenge windows put the LAST PAST frame at the challenge sample
+    frame (reference nuscenes_dataset.py:573-581)."""
+    from strive_tpu.data.etl import (WindowedSceneDataset,
+                                     challenge_anchors_for_scene)
+    from strive_tpu.normalize import att_normalizer_for, state_normalizer_for
+
+    T, NAg, PT, FT = 20, 3, 4, 6
+    rng = np.random.default_rng(0)
+    traj = rng.normal(size=(NAg, T, 6)).astype(np.float32)
+    traj[..., 2:4] /= np.linalg.norm(traj[..., 2:4], axis=-1, keepdims=True)
+    sc = {
+        "traj": traj, "vis": np.ones((NAg, T), np.float32),
+        "lw": np.full((NAg, 2), 2.0, np.float32),
+        "sem": np.eye(2, dtype=np.float32)[[0, 1, 0]],
+        "map_idx": 0, "name": "scene-x",
+        "agent_tokens": ["ego", "instA", "instB"],
+        "sample_tokens": ["s%02d" % t for t in range(T)],
+    }
+    anchors = challenge_anchors_for_scene(
+        sc, ["instA_s07", "instB_s12", "instZ_s05", "instA_s99"])
+    assert anchors == [(1, 7), (2, 12)]  # unknown inst/sample dropped
+    sc["challenge_anchors"] = anchors
+
+    cats = ("car", "truck")
+    ds = WindowedSceneDataset([sc], 8, 2, PT, FT,
+                              state_normalizer_for(cats),
+                              att_normalizer_for(cats), challenge=True)
+    # window starts: anchor_t - PT + 1 = 4 and 9
+    assert [w for w in ds.windows] == [(0, 4), (0, 9)]
+    batch = ds.get_batch([0])
+    # the last past frame of the first window is timestep 7
+    got = np.asarray(state_normalizer_for(cats).unnormalize(
+        batch.past[0, 0, -1]))
+    np.testing.assert_allclose(got, traj[0, 7], rtol=1e-5, atol=1e-5)
+
+    # an anchor too close to the sequence end yields no window
+    sc2 = dict(sc)
+    sc2["challenge_anchors"] = [(1, 17)]  # start 14 + seq 10 > T
+    ds2 = WindowedSceneDataset([sc2], 8, 2, PT, FT,
+                               state_normalizer_for(cats),
+                               att_normalizer_for(cats), challenge=True)
+    assert len(ds2) == 0
