@@ -36,6 +36,7 @@ from strive_tpu.optim import (
 )
 from strive_tpu.planners import PLANNER_CONFIGS, PlannerConfig, RulePlanner
 from strive_tpu.planners.host_bridge import make_planner_host_fn
+from strive_tpu.planners.tpu_planner import TpuRulePlanner
 from strive_tpu.utils.checkpoint import load_state
 from strive_tpu.utils.config import add_base_args, get_parser
 from strive_tpu.utils.logger import Logger, mkdir
@@ -57,6 +58,12 @@ def parse_cfg(argv=None):
     parser.add_argument("--planner", type=str, default="ego",
                         choices=["ego", "hardcode"])
     parser.add_argument("--planner_cfg", type=str, default="default")
+    parser.add_argument("--planner_backend", type=str, default="host",
+                        choices=["host", "tpu"],
+                        help="'host': numpy phase-A planner re-rolled "
+                             "between jitted chunks (reference-exact); "
+                             "'tpu': device phase-B planner traced INTO "
+                             "the optimization loop (zero host hops)")
     parser.add_argument("--feasibility_thresh", type=float, default=10.0)
     parser.add_argument("--feasibility_time", type=int, default=4)
     parser.add_argument("--feasibility_vel", type=float, default=0.5)
@@ -259,13 +266,16 @@ def main(argv=None):
             )
             return emb, prior, z0, init_traj, fit
 
-        def planner_refit(sc, emb, prior, z0, fit):
-            """(Re)set the rule planner for the batch, roll it on the fitted
-            scene, replace the ego target, and re-fit 100 iters
-            (reference :292-310)."""
+        def make_pfn(sc):
+            """Reset the planner on the batch and return the closed-loop
+            bridge fn (host numpy or fused device, --planner_backend)."""
             init_state = np.asarray(state_norm.unnormalize(
                 sc.past_gt[:, :, -1]))
             lw_un = np.asarray(att_norm.unnormalize(sc.lw))
+            if cfg.planner_backend == "tpu":
+                planner.reset(init_state, lw_un, np.asarray(sc.mask),
+                              np.asarray(sc.map_idx))
+                return planner.make_fused_fn(state_norm, dt, cfg.future_len)
             mask_np = np.asarray(sc.mask)
             flat_states, flat_lw, batch_of = [], [], []
             for b in range(sc.B):
@@ -276,8 +286,14 @@ def main(argv=None):
             planner.reset(np.concatenate(flat_states),
                           np.concatenate(flat_lw), np.array(batch_of), sc.B,
                           np.asarray(sc.map_idx))
-            pfn = make_planner_host_fn(planner, sc.mask, state_norm, dt,
-                                       cfg.future_len)
+            return make_planner_host_fn(planner, sc.mask, state_norm, dt,
+                                        cfg.future_len)
+
+        def planner_refit(sc, emb, prior, z0, fit):
+            """(Re)set the rule planner for the batch, roll it on the fitted
+            scene, replace the ego target, and re-fit 100 iters
+            (reference :292-310)."""
+            pfn = make_pfn(sc)
             planner_init = pfn(fit)
             init_traj_np = np.array(np.asarray(sc.future_gt))
             init_traj_np[:, 0, :, :4] = np.asarray(planner_init)
@@ -301,8 +317,10 @@ def main(argv=None):
         planner = None
         planner_fn = None
         if cfg.planner == "hardcode":
-            planner = RulePlanner(lane_graphs, store.map_names,
-                                  PlannerConfig(**PLANNER_CONFIGS[cfg.planner_cfg]))
+            pc = PlannerConfig(**PLANNER_CONFIGS[cfg.planner_cfg])
+            planner = (TpuRulePlanner(lane_graphs, store.map_names, pc)
+                       if cfg.planner_backend == "tpu"
+                       else RulePlanner(lane_graphs, store.map_names, pc))
             planner_fn, init_traj, z_init, init_fit = planner_refit(
                 scene, emb, prior, z_init, init_fit)
             # drop scenes where the planner already collides (reference :312-328)
@@ -340,6 +358,8 @@ def main(argv=None):
             cfg.num_iters, emb, cfg.planner, tgt_prior, prior,
             cfg.feasibility_time, cfg.feasibility_infront_min,
             planner_rollout_fn=planner_fn, ref_compat=cfg.ref_compat,
+            closed_loop_mode=("fused" if cfg.planner_backend == "tpu"
+                              else "chunked"),
         )
         min_agt = np.asarray(min_agt)
         min_t = np.asarray(min_t)

@@ -27,6 +27,10 @@ mechanisms:
 - 'io_callback': the planner call is traced into the compiled loop (one
   host hop per iteration, no python dispatch). Unsupported by some PJRT
   runtimes.
+- 'fused': ``planner_rollout_fn`` is PURE JAX (the phase-B device planner,
+  ``planners/tpu_planner.py``) and traces straight into the loop — the
+  whole closed-loop optimization compiles to one program with ZERO host
+  hops (the BASELINE.md north star).
 """
 
 from __future__ import annotations
@@ -224,7 +228,7 @@ def run_adv_gen_optim(model, params, cur_z, lr, loss_weights, scene, map_store,
         planner_fut_norm = None
         ext_future = None
 
-    if open_loop or closed_loop_mode == "io_callback":
+    if open_loop or closed_loop_mode in ("io_callback", "fused"):
         z_final, final_pred, losses = fns["run_full"](
             opt_vars0, scene, map_store, embed_info, tgt_prior_distrib,
             other_prior_distrib, init_other_z, atk_mask, planner_fut_norm,

@@ -1,0 +1,709 @@
+"""TPU-native rule-based planner (phase B).
+
+A fixed-shape jax reimplementation of the reference
+``HardcodeNuscPlanner`` (``planners/hardcode_goalcond_nusc.py:65-276`` +
+utility functions) so the closed-loop adversarial optimization can run the
+planner INSIDE the compiled graph — zero host round trips per Adam
+iteration (the BASELINE.md north star; the host phase-A port in
+``hardcode.py`` pays one hop per iteration).
+
+Faithfulness notes (every step of the per-dt loop is reproduced; bounded
+approximations are listed):
+
+- lane matching is dense over ALL edges (heading cos + point-to-segment
+  distance, reference ``:298-321``) — exact;
+- the reference's connectivity clustering (``:324-347``) is replaced by
+  closest-first spatial dedupe with MC cluster slots: a candidate is
+  suppressed when its closest-point lies within ``dedupe_r`` of an
+  already-picked representative. The EGO route is unaffected (its spline
+  comes from the globally closest match, which is always the first
+  representative under both schemes);
+- BFS route expansion (``:379-414``) becomes greedy edge walks of static
+  length: at the k-th fork the walk takes the successor given by a branch
+  code; NBR codes per cluster bound the reference's unbounded chain fan.
+  The reference's FIRST chain follows successor 0 at every fork (BFS pops
+  the main path first), so code (0, 0) reproduces the reference's
+  ``splines[0]`` — the one the ego actually follows (``:829-857``);
+- the Gaussian route warp through the agent pose (``:477-556``) is
+  evaluated on a static lane_ds grid sized for the worst-case horizon
+  (the reference sizes its grid from the per-agent speed; knot positions
+  differ sub-centimeter);
+- speed-profile enumeration, 5-circle bbox distances, tanh collision
+  scoring, profile selection, and the exact-speed step postprocess
+  (``:642-666, 724-826, 860-895``) are exact ports;
+- other agents replay their observed futures by interpolation and drop
+  out beyond their horizon (``:601-621``) — exact via alive masks.
+
+Decision parity vs the host planner is asserted in
+``tests/test_tpu_planner.py``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hardcode import LANE_DS, LANE_SIG, SBUFFER, PlannerConfig
+
+BIG = 1e9
+
+
+class LaneTables(NamedTuple):
+    """Padded lane-graph arrays for one map (host-built, device-resident)."""
+
+    edges: jnp.ndarray     # (E, 5) x0, y0, hcos, hsin, len
+    src: jnp.ndarray       # (E,) start vertex
+    dst: jnp.ndarray       # (E,) end vertex
+    succ: jnp.ndarray      # (E, S) successor edge ids (E = none)
+    succ_deg: jnp.ndarray  # (E,)
+    pred: jnp.ndarray      # (E, S) predecessor edge ids
+    pred_deg: jnp.ndarray  # (E,)
+    vxy: jnp.ndarray       # (V, 2)
+
+
+def build_lane_tables(lg, S=None) -> LaneTables:
+    """Host-side: lane-graph dict -> padded edge-adjacency tables."""
+    edges = np.asarray(lg["edges"], np.float32)
+    ixes = np.asarray(lg["edgeixes"], np.int64)
+    E = len(edges)
+    by_src = {}
+    for e, (v0, _v1) in enumerate(ixes):
+        by_src.setdefault(int(v0), []).append(e)
+    succ = [sorted(by_src.get(int(v1), [])) for _v0, v1 in ixes]
+    pred_map = {}
+    for e, (_v0, v1) in enumerate(ixes):
+        pred_map.setdefault(int(v1), []).append(e)
+    pred = [sorted(pred_map.get(int(v0), [])) for v0, _v1 in ixes]
+    if S is None:
+        S = max([1] + [len(s) for s in succ] + [len(p) for p in pred])
+    pad = lambda lst: [x[:S] + [E] * (S - len(x[:S])) for x in lst]
+    return LaneTables(
+        edges=jnp.asarray(edges),
+        src=jnp.asarray(ixes[:, 0], jnp.int32),
+        dst=jnp.asarray(ixes[:, 1], jnp.int32),
+        succ=jnp.asarray(pad(succ), jnp.int32),
+        succ_deg=jnp.asarray([min(len(s), S) for s in succ], jnp.int32),
+        pred=jnp.asarray(pad(pred), jnp.int32),
+        pred_deg=jnp.asarray([min(len(p), S) for p in pred], jnp.int32),
+        vxy=jnp.asarray(np.asarray(lg["xy"], np.float32)),
+    )
+
+
+def stack_lane_tables(tables_list):
+    """Pad per-map tables to common sizes and stack on a leading map axis."""
+    E = max(t.edges.shape[0] for t in tables_list)
+    V = max(t.vxy.shape[0] for t in tables_list)
+    S = max(t.succ.shape[1] for t in tables_list)
+    out = []
+    for t in tables_list:
+        e, v, s = t.edges.shape[0], t.vxy.shape[0], t.succ.shape[1]
+        # padded edges have zero length + far-away position (never match);
+        # padded adjacency points at the one-past-end sentinel (dead end)
+        edges = jnp.full((E, 5), 0.0).at[:, :2].set(BIG).at[:e].set(t.edges)
+        remap = lambda a: jnp.where(a >= e, E, a)  # old sentinel -> new
+
+        def padi(a, fill, n):
+            return jnp.full((n,) + a.shape[1:], fill,
+                            a.dtype).at[: a.shape[0]].set(a)
+
+        out.append(LaneTables(
+            edges=edges,
+            src=padi(t.src, 0, E), dst=padi(t.dst, 0, E),
+            succ=padi(remap(jnp.pad(t.succ, ((0, 0), (0, S - s)),
+                                    constant_values=e)), E, E),
+            succ_deg=padi(t.succ_deg, 0, E),
+            pred=padi(remap(jnp.pad(t.pred, ((0, 0), (0, S - s)),
+                                    constant_values=e)), E, E),
+            pred_deg=padi(t.pred_deg, 0, E),
+            vxy=padi(t.vxy, BIG, V),
+        ))
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *out)
+
+
+class StaticPlanCfg(NamedTuple):
+    """Static planner configuration (shapes + reference constants)."""
+
+    dt: float
+    preddt: float
+    nsteps: int
+    cdistmax: float
+    xydistmax: float
+    smax: float
+    accmax: float
+    predsfacs: tuple
+    predafacs: tuple
+    planaccfacs: tuple
+    plannspeeds: int
+    interacdist: float
+    col_plim: float
+    score_wmin: float
+    score_wfac: float
+    # fixed-shape bounds
+    MC: int = 3            # cluster slots per agent
+    NBR: int = 4           # forward branch codes per cluster
+    KWALK: int = 128       # max edges walked per chain direction
+    dedupe_r: float = 2.0  # spatial cluster-dedupe radius (m)
+
+    @classmethod
+    def from_planner_config(cls, cfg: PlannerConfig, **kw):
+        return cls(
+            dt=float(cfg.dt), preddt=float(cfg.preddt),
+            nsteps=int(cfg.nsteps),
+            cdistmax=float(1.0 - np.cos(np.radians(cfg.cdistang))),
+            xydistmax=float(cfg.xydistmax), smax=float(cfg.smax),
+            accmax=float(cfg.accmax), predsfacs=tuple(cfg.predsfacs),
+            predafacs=tuple(cfg.predafacs),
+            planaccfacs=tuple(cfg.planaccfacs),
+            plannspeeds=int(cfg.plannspeeds),
+            interacdist=float(cfg.interacdist),
+            col_plim=float(cfg.col_plim), score_wmin=float(cfg.score_wmin),
+            score_wfac=float(cfg.score_wfac), **kw)
+
+    # derived static sizes --------------------------------------------------
+    @property
+    def tmax(self):
+        return self.nsteps * self.preddt
+
+    @property
+    def horizon(self):
+        """Worst-case route distance each way (reference :367-377 bounds)."""
+        return 1.0 + self.smax * self.tmax + SBUFFER + self.xydistmax
+
+    @property
+    def NB(self):
+        return int(self.horizon / LANE_DS) + 2
+
+    @property
+    def NPROF(self):
+        return len(self.planaccfacs) * self.plannspeeds * self.plannspeeds
+
+
+# ---------------------------------------------------------------------------
+# per-agent geometry (all fixed shape; vectorized over agents by vmap)
+# ---------------------------------------------------------------------------
+
+
+def _match_edges(pose, tab: LaneTables, cfg: StaticPlanCfg):
+    """(x, y, h) -> per-edge match mask + closest point + distance
+    (reference get_lane_matches :298-321)."""
+    x, y, h = pose
+    e = tab.edges
+    cdist = 1.0 - e[:, 2] * jnp.cos(h) - e[:, 3] * jnp.sin(h)
+    diff = jnp.stack([x - e[:, 0], y - e[:, 1]], -1)
+    lmag = jnp.clip(diff[:, 0] * e[:, 2] + diff[:, 1] * e[:, 3], 0.0, e[:, 4])
+    closest = e[:, :2] + lmag[:, None] * e[:, 2:4]
+    dist = jnp.hypot(x - closest[:, 0], y - closest[:, 1])
+    ok = (cdist < cfg.cdistmax) & (dist < cfg.xydistmax) & (e[:, 4] > 0)
+    return ok, closest, dist
+
+
+def _cluster_reps(ok, closest, dist, cfg: StaticPlanCfg):
+    """Closest-first representatives with spatial dedupe (stands in for the
+    reference's connectivity clustering :324-347; see module docstring)."""
+    def body(carry, _):
+        removed, = carry
+        d = jnp.where(ok & ~removed, dist, BIG)
+        i = jnp.argmin(d)
+        valid = d[i] < BIG
+        c = closest[i]
+        near = jnp.hypot(closest[:, 0] - c[0], closest[:, 1] - c[1]) \
+            < cfg.dedupe_r
+        removed = removed | jnp.where(valid, near, False)
+        return (removed,), (i.astype(jnp.int32), valid)
+
+    (_,), (reps, rep_valid) = jax.lax.scan(
+        body, (jnp.zeros_like(ok),), None, length=cfg.MC)
+    return reps, rep_valid  # (MC,), (MC,)
+
+
+_BRANCH_CODES = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.int32)
+
+
+def _walk(tab: LaneTables, edge0, code, forward, K):
+    """Greedy edge walk -> vertex polyline (K+1, 2) + per-vertex validity.
+
+    Branch code (b1, b2): take successor b1 at the first fork, b2 at the
+    second, 0 after (reference expand_verts :379-414 explores all chains;
+    the first chain is this walk with code (0, 0))."""
+    E = tab.edges.shape[0]
+    table = tab.succ if forward else tab.pred
+    deg = tab.succ_deg if forward else tab.pred_deg
+    endv = tab.dst if forward else tab.src
+    v0 = jnp.where(edge0 < E, endv[jnp.minimum(edge0, E - 1)], 0)
+
+    def body(carry, _):
+        cur, forks, distinct = carry
+        alive = cur < E
+        cur_c = jnp.minimum(cur, E - 1)
+        d = jnp.where(alive, deg[cur_c], 0)
+        is_fork = d > 1
+        b_req = jnp.where(forks == 0, code[0],
+                          jnp.where(forks == 1, code[1], 0))
+        b = jnp.where(is_fork, jnp.minimum(b_req, d - 1), 0)
+        distinct = distinct | (is_fork & (b > 0))
+        nxt = jnp.where(d > 0, table[cur_c, b], E)
+        forks = forks + is_fork.astype(jnp.int32)
+        v = jnp.where(nxt < E, endv[jnp.minimum(nxt, E - 1)], -1)
+        return (nxt, forks, distinct), v
+
+    (_, _, distinct), verts = jax.lax.scan(
+        body, (edge0, jnp.int32(0), jnp.bool_(False)), None, length=K)
+    verts = jnp.concatenate([v0[None], verts])           # (K+1,) vertex ids
+    valid = verts >= 0
+    xy = tab.vxy[jnp.clip(verts, 0, tab.vxy.shape[0] - 1)]
+    # pad dead ends by extrapolating the last valid direction (reference
+    # _extend :416-431 adds one far point; linear interp is equivalent)
+    idx = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    last = jnp.maximum(jnp.max(jnp.where(valid, jnp.arange(K + 1), 0)), 1)
+    p_last = xy[last]
+    d_last = xy[last] - xy[last - 1]
+    d_last = d_last / jnp.maximum(jnp.linalg.norm(d_last), 1e-6)
+    steps = (jnp.arange(K + 1) - last).astype(jnp.float32)
+    extrap = p_last[None] + jnp.maximum(steps, 1.0)[:, None] * d_last[None]
+    xy = jnp.where(valid[:, None], xy, extrap)
+    # a chain whose code requested an unavailable branch duplicates code 0
+    is_zero_code = (code[0] == 0) & (code[1] == 0)
+    return xy, distinct | is_zero_code
+
+
+def _interp_cols(tq, t, vals):
+    """Vectorized piecewise-linear interp of (P, C) vals at (Q,) queries."""
+    i = jnp.clip(jnp.searchsorted(t, tq, side="right") - 1, 0,
+                 t.shape[0] - 2)
+    t0, t1 = t[i], t[i + 1]
+    w = jnp.where(t1 > t0, (tq - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0)
+    w = jnp.clip(w, 0.0, 1.0)
+    return vals[i] + w[:, None] * (vals[i + 1] - vals[i])
+
+
+def _route_spline(xys, ix0, pose, cfg: StaticPlanCfg):
+    """Polyline -> warped arc-length spline knots (reference :433-556).
+
+    :param xys: (P, 2) polyline through the matched edge; ix0 = index of
+        the matched edge's start vertex
+    :return: (t2 (G,), vals (G, 4)) spline knots on the static warp grid
+    """
+    x, y, h = pose
+    egoxy = jnp.array([x, y])
+    P = xys.shape[0]
+    seg = xys[1:] - xys[:-1]
+    seglen = jnp.maximum(jnp.linalg.norm(seg, axis=1), 1e-9)
+    segdir = seg / seglen[:, None]
+    # closest point on each segment
+    dd = egoxy[None] - xys[:-1]
+    lmag = jnp.clip(dd[:, 0] * segdir[:, 0] + dd[:, 1] * segdir[:, 1],
+                    0.0, seglen)
+    cpts = xys[:-1] + lmag[:, None] * segdir
+    cd = jnp.linalg.norm(egoxy[None] - cpts, axis=1)
+
+    # local closest walk out from ix0 (reference local_lane_closest
+    # :433-452): descend left while smaller, then right while smaller
+    def left(cix, _):
+        go = (cix - 1 >= 0) & (cd[jnp.maximum(cix - 1, 0)] < cd[cix])
+        return jnp.where(go, cix - 1, cix), None
+
+    def right(cix, _):
+        nx = jnp.minimum(cix + 1, P - 2)
+        go = (cix + 1 < P - 1) & (cd[nx] < cd[cix])
+        return jnp.where(go, nx, cix), None
+
+    cix0 = jnp.minimum(ix0, P - 2)
+    cix, _ = jax.lax.scan(left, cix0, None, length=P)
+    cix, _ = jax.lax.scan(right, cix, None, length=P)
+    cclose = cpts[cix]
+
+    t = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seglen)])
+    t = t - t[cix] - jnp.linalg.norm(cclose - xys[cix])
+
+    # static warp grid at lane_ds spacing, 0 at the route-closest point
+    NB = cfg.NB
+    tg = (jnp.arange(2 * NB + 1, dtype=jnp.float32) - NB) * LANE_DS
+    pts = _interp_cols(tg, t, xys)
+    # Gaussian warp through the agent pose (reference :543-549)
+    pts = pts + (egoxy - cclose)[None] * jnp.exp(
+        -(tg ** 2) / LANE_SIG ** 2)[:, None]
+    # arc-length + headings, heading at t=0 forced to the agent's
+    # (reference xy2spline :455-474)
+    d2 = pts[1:] - pts[:-1]
+    l2 = jnp.maximum(jnp.linalg.norm(d2, axis=1), 1e-9)
+    h2 = d2 / l2[:, None]
+    h2 = jnp.concatenate([h2, h2[-1:]])
+    h2 = h2.at[NB].set(jnp.array([jnp.cos(h), jnp.sin(h)]))
+    t2 = jnp.concatenate([jnp.zeros(1), jnp.cumsum(l2)])
+    t2 = t2 - t2[NB]
+    vals = jnp.concatenate([pts, h2], axis=1)
+    return t2, vals
+
+
+def _const_heading_spline(pose, cfg: StaticPlanCfg):
+    """Fallback when an agent matches no lane (reference :477-485)."""
+    x, y, h = pose
+    NB = cfg.NB
+    tg = (jnp.arange(2 * NB + 1, dtype=jnp.float32) - NB) * LANE_DS
+    c, s = jnp.cos(h), jnp.sin(h)
+    pts = jnp.stack([x + tg * c, y + tg * s], -1)
+    hh = jnp.broadcast_to(jnp.array([c, s]), (2 * NB + 1, 2))
+    return tg, jnp.concatenate([pts, hh], axis=1)
+
+
+def _agent_splines(pose, tab: LaneTables, cfg: StaticPlanCfg):
+    """All route splines for one agent: (MC*NBR, G) knots + validity.
+
+    Slot 0 is the reference's ``splines[0]`` (closest cluster, main
+    branch) used for the agent's own control (:829-857).
+    """
+    ok, closest, dist = _match_edges(pose, tab, cfg)
+    reps, rep_valid = _cluster_reps(ok, closest, dist, cfg)
+    codes = jnp.asarray(_BRANCH_CODES[: cfg.NBR])
+
+    def one(rep, code):
+        fwd, fw_distinct = _walk(tab, rep, code, True, cfg.KWALK)
+        bwd, _ = _walk(tab, rep, jnp.zeros(2, jnp.int32), False, cfg.KWALK)
+        xys = jnp.concatenate([bwd[::-1], fwd], axis=0)
+        t2, vals = _route_spline(xys, cfg.KWALK, pose, cfg)
+        return t2, vals, fw_distinct
+
+    t2, vals, distinct = jax.vmap(
+        lambda rep: jax.vmap(lambda c: one(rep, c))(codes))(reps)
+    t2 = t2.reshape(cfg.MC * cfg.NBR, -1)
+    vals = vals.reshape(cfg.MC * cfg.NBR, -1, 4)
+    valid = (rep_valid[:, None] & distinct.reshape(cfg.MC, cfg.NBR)
+             ).reshape(-1)
+    # fallback constant-heading spline in slot 0 when nothing matched
+    tc, vc = _const_heading_spline(pose, cfg)
+    no_match = ~rep_valid[0]
+    t2 = t2.at[0].set(jnp.where(no_match, tc, t2[0]))
+    vals = vals.at[0].set(jnp.where(no_match, vc, vals[0]))
+    valid = valid.at[0].set(True)
+    return t2, vals, valid, rep_valid[0]
+
+
+# ---------------------------------------------------------------------------
+# speed profiles + scoring (exact ports)
+# ---------------------------------------------------------------------------
+
+
+def _speed_profile(s, stgt, acc, n, preddt):
+    """(n+1,) (reference compute_speed_profile :670-679)."""
+    up = jnp.minimum(s + jnp.arange(n + 1) * acc * preddt, stgt)
+    dn = jnp.maximum(s - jnp.arange(n + 1) * acc * preddt, stgt)
+    return jnp.where(stgt > s, up, jnp.where(stgt < s, dn,
+                                             jnp.full(n + 1, s)))
+
+
+def _sprof2dists(prof, preddt):
+    return jnp.concatenate([jnp.zeros(1),
+                            jnp.cumsum(prof[1:] * preddt)])
+
+
+def _gen_sprofiles(s0, cfg: StaticPlanCfg):
+    """(NPROF, nsteps+1) profiles + dists + (s1, acc) (reference
+    gen_sprofiles :804-826)."""
+    n1 = cfg.nsteps // 2
+    n2 = cfg.nsteps - n1
+    NS = cfg.plannspeeds
+    profs, dists, s1s, accs = [], [], [], []
+    for fac in cfg.planaccfacs:
+        acc = fac * cfg.accmax
+        top = jnp.minimum(cfg.smax, s0 + n1 * cfg.preddt * acc)
+        bot = jnp.maximum(0.0, s0 - n1 * cfg.preddt * acc)
+        for i in range(NS):
+            s1 = bot + (top - bot) * (i / max(NS - 1, 1))
+            p1 = _speed_profile(s0, s1, acc, n1, cfg.preddt)
+            top2 = jnp.minimum(cfg.smax, p1[-1] + n2 * cfg.preddt * acc)
+            bot2 = jnp.maximum(0.0, p1[-1] - n2 * cfg.preddt * acc)
+            for j in range(NS):
+                s2 = bot2 + (top2 - bot2) * (j / max(NS - 1, 1))
+                p2 = _speed_profile(p1[-1], s2, acc, n2, cfg.preddt)
+                prof = jnp.concatenate([p1, p2[1:]])
+                profs.append(prof)
+                dists.append(_sprof2dists(prof, cfg.preddt))
+                s1s.append(s1)
+                accs.append(acc)
+    return (jnp.stack(profs), jnp.stack(dists), jnp.stack(s1s),
+            jnp.stack(accs))
+
+
+def _boxes2circles(b):
+    """(..., 5=x,y,h,l,w) -> (..., 5, 3) disc cover (reference :860-882)."""
+    XY, Hi, Li, Wi = b[..., :2], b[..., 2], b[..., 3], b[..., 4]
+    L = jnp.maximum(Li, Wi)
+    W = jnp.minimum(Li, Wi)
+    H = jnp.where(Li < Wi, Hi + jnp.pi / 2.0, Hi)
+    ch, sh = jnp.cos(H), jnp.sin(H)
+    v0 = ((L - W) / 2 + W / 4)[..., None] * jnp.stack([ch, sh], -1)
+    v1 = (W / 4)[..., None] * jnp.stack([-sh, ch], -1)
+    centers = jnp.stack([XY + v0 + v1, XY - v0 + v1, XY - v0 - v1,
+                         XY + v0 - v1, XY], axis=-2)
+    radii = jnp.concatenate([
+        jnp.broadcast_to((W / 4)[..., None], W.shape + (4,)),
+        (W / 2)[..., None]], axis=-1)
+    return jnp.concatenate([centers, radii[..., None]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# one planner dt-step for one scene
+# ---------------------------------------------------------------------------
+
+
+def _plan_step(state, lw, alive, tab, cfg: StaticPlanCfg):
+    """Plan the ego's next pose (reference compute_splines +
+    compute_action, ``:224-246``).
+
+    :param state: (NA, 4) x, y, h, s (h in radians); ego = row 0
+    :param lw: (NA, 2); alive: (NA,) bool
+    :return: (newx, newy, newh, stgt)
+    """
+    NA = state.shape[0]
+    poses = (state[:, 0], state[:, 1], state[:, 2])
+
+    t2, vals, sp_valid, has_match = jax.vmap(
+        lambda x, y, h: _agent_splines((x, y, h), tab, cfg))(*poses)
+    # t2/vals: (NA, MC*NBR, G[, 4])
+
+    # --- other agents' predicted trajectories (reference :694-721) --------
+    ego = state[0]
+    near = (jnp.hypot(state[:, 0] - ego[0], state[:, 1] - ego[1])
+            < cfg.interacdist) & alive
+    near = near.at[0].set(False)
+    T1 = cfg.nsteps + 1
+    sfacs = jnp.asarray(cfg.predsfacs)
+    afacs = jnp.asarray(cfg.predafacs)
+
+    def other_tevals(s):
+        profs = jax.vmap(lambda sf: jax.vmap(lambda af: _sprof2dists(
+            _speed_profile(s, s * sf, cfg.accmax * af, cfg.nsteps,
+                           cfg.preddt), cfg.preddt))(afacs))(sfacs)
+        return profs.reshape(-1, T1)  # (NTEV, T1)
+
+    tevals = jax.vmap(other_tevals)(state[:, 3])  # (NA, NTEV, T1)
+    NTEV = tevals.shape[1]
+    C = cfg.MC * cfg.NBR
+
+    def eval_spline(t2_a, vals_a, te):
+        return _interp_cols(te, t2_a, vals_a)  # (T1, 4)
+
+    # (NA, C, NTEV, T1, 4)
+    opreds = jax.vmap(lambda ts, vs, tevs: jax.vmap(
+        lambda t_a, v_a: jax.vmap(lambda te: eval_spline(t_a, v_a, te))(tevs)
+    )(ts, vs))(t2, vals, tevals)
+    oh = jnp.arctan2(opreds[..., 3], opreds[..., 2])
+    obox = jnp.concatenate([
+        opreds[..., :2], oh[..., None],
+        jnp.broadcast_to(lw[:, None, None, None, :],
+                         opreds.shape[:-1] + (2,))], axis=-1)
+    K = NA * C * NTEV
+    obox = obox.reshape(K, T1, 5).transpose(1, 0, 2)  # (T1, K, 5)
+    ovalid = (near[:, None, None] & sp_valid[:, :, None]
+              ).reshape(NA * C, 1) & jnp.ones((1, NTEV), bool)
+    ovalid = ovalid.reshape(K)
+
+    # --- ego candidate profiles + scoring (reference :724-801) ------------
+    profs, pdists, s1s, accs = _gen_sprofiles(ego[3], cfg)  # (NP, T1)
+    NP = profs.shape[0]
+    elocs = jax.vmap(lambda te: eval_spline(t2[0, 0], vals[0, 0], te))(
+        pdists)  # (NP, T1, 4)
+    ehead = jnp.arctan2(elocs[..., 3], elocs[..., 2])
+    ebox = jnp.concatenate([
+        elocs[..., :2], ehead[..., None],
+        jnp.broadcast_to(lw[0], (NP, T1, 2))], axis=-1)  # (NP, T1, 5)
+
+    ecirc = _boxes2circles(ebox)                     # (NP, T1, 5, 3)
+    ocirc = _boxes2circles(obox)                     # (T1, K, 5, 3)
+    d = (jnp.linalg.norm(
+        ecirc[:, :, None, :, None, :2] - ocirc[None, :, :, None, :, :2],
+        axis=-1)
+        - ecirc[:, :, None, :, None, 2] - ocirc[None, :, :, None, :, 2])
+    d = jnp.min(d, axis=(3, 4))                      # (NP, T1, K)
+    d = jnp.where(ovalid[None, None, :], d, BIG)
+    d = jnp.min(d, axis=2)                           # (NP, T1)
+    w = cfg.score_wmin + jnp.arange(T1) * cfg.score_wfac
+    pr = 1.0 + jnp.tanh(-d * w[None])
+    pr = jnp.where(d < 0, 1.0, pr)
+    pcol = 1.0 - jnp.prod(1.0 - pr, axis=1)          # (NP,)
+    any_other = jnp.any(ovalid)
+    pcol = jnp.where(any_other, pcol, 0.0)
+
+    # selection (reference choose_profile / plot_plan_info :768-801)
+    reach = pdists[:, -1]
+    okp = pcol < cfg.col_plim
+    # with no interacting agents the reference always takes the farthest
+    # profile (choose_profile empty branch); prefer_stop (no lane match)
+    # flips to the shortest safe profile otherwise (:768-801)
+    prefer_stop = (~has_match[0]) & any_other
+    dist_key = jnp.where(okp, jnp.where(prefer_stop, -reach, reach), -BIG)
+    best_ok = jnp.argmax(dist_key)
+    best_min = jnp.argmin(pcol)
+    pick = jnp.where(jnp.any(okp), best_ok, best_min)
+
+    # step along the spline (reference compute_action :829-857)
+    stgt = _speed_profile(ego[3], s1s[pick], accs[pick], 1, cfg.dt)[1]
+    loc = eval_spline(t2[0, 0], vals[0, 0],
+                      jnp.array([cfg.dt * stgt]))[0]
+    newx, newy = loc[0], loc[1]
+    newh = jnp.arctan2(loc[3], loc[2])
+
+    # exact-speed postprocess (reference :642-666)
+    x0, y0, h0 = ego[0], ego[1], ego[2]
+    dxy = jnp.array([newx - x0, newy - y0])
+    dist0 = jnp.linalg.norm(dxy)
+    sp = dist0 / cfg.dt
+    sgn = jnp.where(dxy[0] * jnp.cos(newh) + dxy[1] * jnp.sin(newh) >= 0,
+                    1.0, -1.0)
+    sp = sgn * sp
+    bad = (jnp.sign(sp) != jnp.sign(stgt)) | (dist0 == 0.0)
+    dirv = dxy / jnp.maximum(dist0, 1e-9)
+    px = jnp.where(bad, x0 + jnp.cos(h0) * stgt * cfg.dt,
+                   x0 + dirv[0] * jnp.abs(stgt) * cfg.dt)
+    py = jnp.where(bad, y0 + jnp.sin(h0) * stgt * cfg.dt,
+                   y0 + dirv[1] * jnp.abs(stgt) * cfg.dt)
+    ph = jnp.where(bad, h0, newh)
+    return px, py, ph, stgt
+
+
+def plan_rollout(tab: LaneTables, cfg: StaticPlanCfg, init_state, lw,
+                 alive0, other_obs, obs_t, Tsteps: int):
+    """Roll the planner for one scene (reference rollout :178-276).
+
+    :param init_state: (NA, 4) x, y, h, s UNNORMALIZED; ego = row 0
+    :param other_obs: (NA, TO, 4) x, y, hx, hy observed futures (row 0
+        ignored; NaN frames end an agent's horizon)
+    :param obs_t: (TO,) observation timestamps (> 0)
+    :return: (Tsteps+1, 4) ego x, y, hx, hy on the reference's
+        ``linspace(dt, dt*Tsteps, Tsteps+1)`` timeline
+    """
+    NA, TO = other_obs.shape[:2]
+    # prepend the initial pose at t=0 (reference create_other_agents)
+    h0 = jnp.stack([jnp.cos(init_state[:, 2]), jnp.sin(init_state[:, 2])],
+                   -1)
+    obs = jnp.concatenate(
+        [jnp.concatenate([init_state[:, :2], h0], -1)[:, None], other_obs],
+        axis=1)  # (NA, TO+1, 4)
+    ts = jnp.concatenate([jnp.zeros(1), obs_t])
+    nanrow = jnp.isnan(obs).any(-1)
+    first_nan = jnp.argmax(
+        jnp.concatenate([nanrow, jnp.ones((NA, 1), bool)], 1), axis=1)
+    horizon = ts[jnp.maximum(first_nan - 1, 0)]  # (NA,) last valid time
+    obs = jnp.where(nanrow[..., None], 0.0, obs)
+
+    def interp_obs(a, tq):
+        return _interp_cols(jnp.array([tq]), ts, obs[a])[0]
+
+    def step(carry, _):
+        state, alive, t = carry
+        px, py, ph, stgt = _plan_step(state, lw, alive, tab, cfg)
+        t1 = t + cfg.dt
+        # others move along their observations; drop out past the horizon
+        # (reference update_wstate :601-621)
+        o = jax.vmap(lambda a: interp_obs(a, t1))(jnp.arange(NA))
+        oh = jnp.arctan2(o[:, 3], o[:, 2])
+        osp = jnp.hypot(o[:, 0] - state[:, 0],
+                        o[:, 1] - state[:, 1]) / cfg.dt
+        osgn = jnp.where((o[:, 0] - state[:, 0]) * o[:, 2]
+                         + (o[:, 1] - state[:, 1]) * o[:, 3] >= 0, 1.0, -1.0)
+        new_state = jnp.stack([o[:, 0], o[:, 1], oh, osgn * osp], -1)
+        new_state = new_state.at[0].set(
+            jnp.array([px, py, ph, stgt]))
+        new_alive = alive & (t1 <= horizon + 1e-6)
+        new_alive = new_alive.at[0].set(True)
+        return (new_state, new_alive, t1), jnp.array(
+            [px, py, jnp.cos(ph), jnp.sin(ph)])
+
+    state0 = init_state
+    alive = alive0
+    # first action from t=0 (reference records the first planned control
+    # before the loop, :238-246)
+    (state1, alive1, t1), out0 = step((state0, alive, jnp.float32(0.0)),
+                                      None)
+    (_, _, _), outs = jax.lax.scan(step, (state1, alive1, t1), None,
+                                   length=Tsteps)
+    return jnp.concatenate([out0[None], outs], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# batch wrapper + fused closed-loop bridge
+# ---------------------------------------------------------------------------
+
+
+class TpuRulePlanner:
+    """Device-side planner over a batch of scenes (duck-types RulePlanner).
+
+    ``reset`` captures initial states; ``rollout_batch`` plans every scene
+    under one jit. ``make_fused_fn`` returns a PURE-JAX closed-loop bridge
+    (same contract as ``make_planner_host_fn``) that traces straight into
+    the adversarial optimization loop — the whole closed loop compiles to
+    one program with zero host hops.
+    """
+
+    def __init__(self, lane_graphs, map_names, cfg, **static_kw):
+        self.map_names = list(map_names)
+        base = cfg if isinstance(cfg, PlannerConfig) else PlannerConfig(**cfg)
+        self.cfg = StaticPlanCfg.from_planner_config(base, **static_kw)
+        self.tables = stack_lane_tables(
+            [build_lane_tables(lane_graphs[m]) for m in self.map_names])
+        self.state = None
+
+    def reset(self, init_state, lw, mask, map_idx):
+        """:param init_state: (B, NA, 6) UNNORMALIZED (x,y,hx,hy,s,hdot)
+        :param lw: (B, NA, 2) UNNORMALIZED; mask: (B, NA); map_idx: (B,)"""
+        st = jnp.asarray(init_state)
+        self.state = {
+            "init": jnp.stack(
+                [st[..., 0], st[..., 1],
+                 jnp.arctan2(st[..., 3], st[..., 2]), st[..., 4]], -1),
+            "lw": jnp.asarray(lw),
+            "mask": jnp.asarray(mask),
+            "map_idx": jnp.asarray(map_idx, jnp.int32),
+        }
+
+    def rollout_batch(self, other_obs, obs_t, planner_t):
+        """:param other_obs: (B, NA, TO, 4) UNNORMALIZED futures (ego row
+        ignored); obs_t/planner_t: (TO,)/(TQ,)
+        :return: (B, TQ, 4) ego trajectories"""
+        assert self.state is not None, "call reset() first"
+        return _rollout_batch_jit(
+            self.tables, self.cfg, self.state["init"], self.state["lw"],
+            self.state["mask"], self.state["map_idx"],
+            jnp.asarray(other_obs), jnp.asarray(obs_t),
+            jnp.asarray(planner_t), float(np.asarray(planner_t)[-1]))
+
+    def make_fused_fn(self, state_norm, dt, future_len):
+        """Closed-loop bridge with the ``make_planner_host_fn`` contract:
+        fn(future_pred_norm (B, NA, FT, 4)) -> (B, FT, 4) NORMALIZED —
+        but pure jax, so it traces into the optimization loop."""
+        smean = jnp.asarray(np.asarray(state_norm.mean)[:4])
+        sstd = jnp.asarray(np.asarray(state_norm.std)[:4])
+        plan_t = jnp.linspace(dt, dt * future_len, future_len)
+
+        def fn(future_pred_norm):
+            fp = future_pred_norm * sstd + smean
+            # mask the ego row out of the observations
+            fp = fp.at[:, 0].set(jnp.nan)
+            out = self.rollout_batch(fp, plan_t, plan_t)
+            return (out - smean) / sstd
+
+        return fn
+
+
+def _rollout_scene(tab, cfg, init, lw, mask, other_obs, obs_t, planner_t,
+                   Tsteps):
+    out = plan_rollout(tab, cfg, init, lw, mask, other_obs, obs_t, Tsteps)
+    out_t = jnp.linspace(cfg.dt, cfg.dt * Tsteps, Tsteps + 1)
+    return _interp_cols(planner_t, out_t, out)
+
+
+@partial(jax.jit, static_argnums=(1, 9))
+def _rollout_batch_jit(tables, cfg, init, lw, mask, map_idx, other_obs,
+                       obs_t, planner_t, t_end):
+    Tsteps = int(round(t_end / cfg.dt))
+
+    def per_scene(b):
+        tab = jax.tree_util.tree_map(lambda x: x[map_idx[b]], tables)
+        return _rollout_scene(tab, cfg, init[b], lw[b], mask[b],
+                              other_obs[b], obs_t, planner_t, Tsteps)
+
+    return jax.vmap(per_scene)(jnp.arange(init.shape[0]))
