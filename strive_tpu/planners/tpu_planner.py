@@ -53,7 +53,12 @@ BIG = 1e9
 
 
 class LaneTables(NamedTuple):
-    """Padded lane-graph arrays for one map (host-built, device-resident)."""
+    """Padded lane-graph arrays for one map (host-built, device-resident).
+
+    ``chain0_f``/``chain0_b`` hold the branch-0 walk (always follow
+    successor/predecessor 0) precomputed for every edge, plus each walk's
+    first fork position — a K-step graph walk then assembles from at most
+    three precomputed segments with pure gathers (no sequential loop)."""
 
     edges: jnp.ndarray     # (E, 5) x0, y0, hcos, hsin, len
     src: jnp.ndarray       # (E,) start vertex
@@ -63,9 +68,35 @@ class LaneTables(NamedTuple):
     pred: jnp.ndarray      # (E, S) predecessor edge ids
     pred_deg: jnp.ndarray  # (E,)
     vxy: jnp.ndarray       # (V, 2)
+    chain0_f: jnp.ndarray  # (E, K+1) vertices of the fwd branch-0 walk
+    fork_f: jnp.ndarray    # (E,) first fwd fork step (K+1 = none)
+    forke_f: jnp.ndarray   # (E,) edge id at that fork
+    chain0_b: jnp.ndarray  # (E, K+1) vertices of the bwd branch-0 walk
+    fork_b: jnp.ndarray    # (E,) first bwd fork step
+    forke_b: jnp.ndarray   # (E,) edge id at that fork
 
 
-def build_lane_tables(lg, S=None) -> LaneTables:
+def _host_chain0(E, table, deg, endv, K):
+    """(E, K+1) branch-0 walk vertices + first fork step/edge (numpy)."""
+    chain = np.full((E, K + 1), -1, np.int64)
+    fork = np.full(E, K + 1, np.int64)
+    forke = np.zeros(E, np.int64)
+    cur = np.arange(E)
+    alive = np.ones(E, bool)
+    chain[:, 0] = endv[cur]
+    for j in range(K):
+        d = np.where(alive, deg[np.minimum(cur, E - 1)], 0)
+        at_fork = alive & (d > 1) & (fork > K)
+        fork[at_fork] = j
+        forke[at_fork] = cur[at_fork]
+        nxt = np.where(d > 0, table[np.minimum(cur, E - 1), 0], E)
+        alive = alive & (nxt < E)
+        cur = np.where(alive, nxt, cur)
+        chain[:, j + 1] = np.where(alive, endv[np.minimum(cur, E - 1)], -1)
+    return chain, fork, forke
+
+
+def build_lane_tables(lg, S=None, K=128) -> LaneTables:
     """Host-side: lane-graph dict -> padded edge-adjacency tables."""
     edges = np.asarray(lg["edges"], np.float32)
     ixes = np.asarray(lg["edgeixes"], np.int64)
@@ -81,15 +112,27 @@ def build_lane_tables(lg, S=None) -> LaneTables:
     if S is None:
         S = max([1] + [len(s) for s in succ] + [len(p) for p in pred])
     pad = lambda lst: [x[:S] + [E] * (S - len(x[:S])) for x in lst]
+    succ_np = np.asarray(pad(succ), np.int64)
+    pred_np = np.asarray(pad(pred), np.int64)
+    succ_deg = np.asarray([min(len(s), S) for s in succ], np.int64)
+    pred_deg = np.asarray([min(len(p), S) for p in pred], np.int64)
+    cf, ff, fef = _host_chain0(E, succ_np, succ_deg, ixes[:, 1], K)
+    cb, fb, feb = _host_chain0(E, pred_np, pred_deg, ixes[:, 0], K)
     return LaneTables(
         edges=jnp.asarray(edges),
         src=jnp.asarray(ixes[:, 0], jnp.int32),
         dst=jnp.asarray(ixes[:, 1], jnp.int32),
-        succ=jnp.asarray(pad(succ), jnp.int32),
-        succ_deg=jnp.asarray([min(len(s), S) for s in succ], jnp.int32),
-        pred=jnp.asarray(pad(pred), jnp.int32),
-        pred_deg=jnp.asarray([min(len(p), S) for p in pred], jnp.int32),
+        succ=jnp.asarray(succ_np, jnp.int32),
+        succ_deg=jnp.asarray(succ_deg, jnp.int32),
+        pred=jnp.asarray(pred_np, jnp.int32),
+        pred_deg=jnp.asarray(pred_deg, jnp.int32),
         vxy=jnp.asarray(np.asarray(lg["xy"], np.float32)),
+        chain0_f=jnp.asarray(cf, jnp.int32),
+        fork_f=jnp.asarray(ff, jnp.int32),
+        forke_f=jnp.asarray(fef, jnp.int32),
+        chain0_b=jnp.asarray(cb, jnp.int32),
+        fork_b=jnp.asarray(fb, jnp.int32),
+        forke_b=jnp.asarray(feb, jnp.int32),
     )
 
 
@@ -120,6 +163,12 @@ def stack_lane_tables(tables_list):
                                     constant_values=e)), E, E),
             pred_deg=padi(t.pred_deg, 0, E),
             vxy=padi(t.vxy, BIG, V),
+            chain0_f=padi(t.chain0_f, -1, E),
+            fork_f=padi(t.fork_f, t.chain0_f.shape[1], E),
+            forke_f=padi(t.forke_f, 0, E),
+            chain0_b=padi(t.chain0_b, -1, E),
+            fork_b=padi(t.fork_b, t.chain0_b.shape[1], E),
+            forke_b=padi(t.forke_b, 0, E),
         ))
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *out)
 
@@ -224,56 +273,75 @@ _BRANCH_CODES = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.int32)
 
 
 def _walk(tab: LaneTables, edge0, code, forward, K):
-    """Greedy edge walk -> vertex polyline (K+1, 2) + per-vertex validity.
+    """Greedy edge walk -> vertex polyline (K+1, 2) + distinctness.
 
     Branch code (b1, b2): take successor b1 at the first fork, b2 at the
-    second, 0 after (reference expand_verts :379-414 explores all chains;
-    the first chain is this walk with code (0, 0))."""
+    next one, 0 after (reference expand_verts :379-414 explores all
+    chains; the first chain is this walk with code (0, 0)). Assembled
+    from three precomputed branch-0 chain segments with pure gathers — no
+    sequential graph walk at runtime.
+    """
     E = tab.edges.shape[0]
+    chain0 = tab.chain0_f if forward else tab.chain0_b
+    fork = tab.fork_f if forward else tab.fork_b
+    forke = tab.forke_f if forward else tab.forke_b
     table = tab.succ if forward else tab.pred
     deg = tab.succ_deg if forward else tab.pred_deg
-    endv = tab.dst if forward else tab.src
-    v0 = jnp.where(edge0 < E, endv[jnp.minimum(edge0, E - 1)], 0)
+    K1 = chain0.shape[1]  # K + 1
+    NONE = jnp.int32(K1)
 
-    def body(carry, _):
-        cur, forks, distinct = carry
-        alive = cur < E
-        cur_c = jnp.minimum(cur, E - 1)
-        d = jnp.where(alive, deg[cur_c], 0)
-        is_fork = d > 1
-        b_req = jnp.where(forks == 0, code[0],
-                          jnp.where(forks == 1, code[1], 0))
-        b = jnp.where(is_fork, jnp.minimum(b_req, d - 1), 0)
-        distinct = distinct | (is_fork & (b > 0))
-        nxt = jnp.where(d > 0, table[cur_c, b], E)
-        forks = forks + is_fork.astype(jnp.int32)
-        v = jnp.where(nxt < E, endv[jnp.minimum(nxt, E - 1)], -1)
-        return (nxt, forks, distinct), v
+    def seg_after_fork(e, b):
+        """Edge taken when branching with index b at e's first fork."""
+        ec = jnp.minimum(e, E - 1)
+        f = jnp.where(e < E, fork[ec], NONE)
+        fe = jnp.minimum(forke[ec], E - 1)
+        d = deg[fe]
+        b_used = jnp.minimum(b, jnp.maximum(d - 1, 0))
+        nxt = table[fe, b_used]
+        return f, jnp.where(f <= K1 - 1, nxt, E), b_used
 
-    (_, _, distinct), verts = jax.lax.scan(
-        body, (edge0, jnp.int32(0), jnp.bool_(False)), None, length=K)
-    verts = jnp.concatenate([v0[None], verts])           # (K+1,) vertex ids
-    valid = verts >= 0
-    xy = tab.vxy[jnp.clip(verts, 0, tab.vxy.shape[0] - 1)]
+    e1 = jnp.minimum(edge0, E - 1)
+    f1, e2, b1_used = seg_after_fork(edge0, code[0])
+    f2, e3, b2_used = seg_after_fork(e2, code[1])
+
+    i = jnp.arange(K1)
+    c1 = chain0[e1]
+    c2 = chain0[jnp.minimum(e2, E - 1)]
+    c3 = chain0[jnp.minimum(e3, E - 1)]
+    # segment boundaries in the assembled chain (vertex f of seg 1 is the
+    # fork vertex; branching replaces everything after it)
+    j2 = i - f1 - 1          # index into c2 once past the first fork
+    j3 = j2 - f2 - 1         # index into c3 once past the second fork
+    v = c1[jnp.clip(i, 0, K1 - 1)]
+    use2 = (j2 >= 0) & (e2 < E)
+    v = jnp.where(use2, c2[jnp.clip(j2, 0, K1 - 1)], v)
+    use3 = (j3 >= 0) & (e3 < E) & use2
+    v = jnp.where(use3, c3[jnp.clip(j3, 0, K1 - 1)], v)
+
+    distinct = ((b1_used > 0) & (f1 <= K1 - 1)) |                ((b2_used > 0) & (e2 < E) & (f2 <= K1 - 1))
+    valid = v >= 0
+    xy = tab.vxy[jnp.clip(v, 0, tab.vxy.shape[0] - 1)]
     # pad dead ends by extrapolating the last valid direction (reference
     # _extend :416-431 adds one far point; linear interp is equivalent)
-    idx = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    last = jnp.maximum(jnp.max(jnp.where(valid, jnp.arange(K + 1), 0)), 1)
+    last = jnp.maximum(jnp.max(jnp.where(valid, i, 0)), 1)
     p_last = xy[last]
     d_last = xy[last] - xy[last - 1]
     d_last = d_last / jnp.maximum(jnp.linalg.norm(d_last), 1e-6)
-    steps = (jnp.arange(K + 1) - last).astype(jnp.float32)
+    steps = (i - last).astype(jnp.float32)
     extrap = p_last[None] + jnp.maximum(steps, 1.0)[:, None] * d_last[None]
     xy = jnp.where(valid[:, None], xy, extrap)
-    # a chain whose code requested an unavailable branch duplicates code 0
     is_zero_code = (code[0] == 0) & (code[1] == 0)
     return xy, distinct | is_zero_code
 
 
 def _interp_cols(tq, t, vals):
-    """Vectorized piecewise-linear interp of (P, C) vals at (Q,) queries."""
-    i = jnp.clip(jnp.searchsorted(t, tq, side="right") - 1, 0,
-                 t.shape[0] - 2)
+    """Vectorized piecewise-linear interp of (P, C) vals at (Q,) queries.
+
+    Interval lookup by dense compare-sum: jnp.searchsorted's default
+    lowering is a sequential scan on TPU, which dominated the planner's
+    runtime; a (Q, P) compare matrix is pure VPU work."""
+    i = jnp.sum(t[None, :] <= tq[:, None], axis=1) - 1
+    i = jnp.clip(i, 0, t.shape[0] - 2)
     t0, t1 = t[i], t[i + 1]
     w = jnp.where(t1 > t0, (tq - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0)
     w = jnp.clip(w, 0.0, 1.0)
@@ -301,19 +369,21 @@ def _route_spline(xys, ix0, pose, cfg: StaticPlanCfg):
     cd = jnp.linalg.norm(egoxy[None] - cpts, axis=1)
 
     # local closest walk out from ix0 (reference local_lane_closest
-    # :433-452): descend left while smaller, then right while smaller
-    def left(cix, _):
-        go = (cix - 1 >= 0) & (cd[jnp.maximum(cix - 1, 0)] < cd[cix])
-        return jnp.where(go, cix - 1, cix), None
-
-    def right(cix, _):
-        nx = jnp.minimum(cix + 1, P - 2)
-        go = (cix + 1 < P - 1) & (cd[nx] < cd[cix])
-        return jnp.where(go, nx, cix), None
-
+    # :433-452): descend left while strictly smaller, then right. The walk
+    # endpoints are run-length boundaries of the "moving improves"
+    # predicates — computed with masked reductions, no sequential loop.
     cix0 = jnp.minimum(ix0, P - 2)
-    cix, _ = jax.lax.scan(left, cix0, None, length=P)
-    cix, _ = jax.lax.scan(right, cix, None, length=P)
+    idx = jnp.arange(P - 1)
+    # leftward: stop at the largest j <= cix0 where moving to j-1 does NOT
+    # improve (cd[j-1] >= cd[j]); boundary at j=0 always stops
+    cdm1 = jnp.concatenate([cd[:1] + 1.0, cd[:-1]])  # cd[j-1], stop at 0
+    stop_l = (cdm1 >= cd) & (idx <= cix0)
+    cix_l = jnp.max(jnp.where(stop_l, idx, 0))
+    # rightward from cix_l: stop at the smallest j >= cix_l where moving
+    # to j+1 does not improve
+    cdp1 = jnp.concatenate([cd[1:], cd[-1:] + 1.0])  # cd[j+1], stop at end
+    stop_r = (cdp1 >= cd) & (idx >= cix_l)
+    cix = jnp.min(jnp.where(stop_r, idx, P - 2))
     cclose = cpts[cix]
 
     t = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seglen)])
