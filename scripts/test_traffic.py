@@ -22,7 +22,7 @@ from strive_tpu.losses.training import (
 from strive_tpu.utils.checkpoint import load_state
 from strive_tpu.utils.config import add_base_args, get_parser
 from strive_tpu.utils.logger import Logger, mkdir
-from strive_tpu.viz import render_scene
+from strive_tpu.viz import render_rollout_video, render_scene
 
 from train_traffic import build_model
 
@@ -105,7 +105,7 @@ def main(argv=None):
             acc(k, out[k])
 
         if (cfg.test_sample_disp_err or cfg.test_sample_coll_rate
-                or cfg.test_sample_viz_multi):
+                or cfg.test_sample_viz_multi or cfg.test_sample_viz_rollout):
             samp = sample_step(params, scene, k2)
             if cfg.test_sample_disp_err:
                 derr = compute_disp_err(scene, samp["future_pred"], state_norm)
@@ -156,7 +156,19 @@ def main(argv=None):
                     )
 
         if (cfg.test_sample_disp_err or cfg.test_sample_coll_rate
-                or cfg.test_sample_viz_multi):
+                or cfg.test_sample_viz_multi or cfg.test_sample_viz_rollout):
+            if cfg.test_sample_viz_rollout and i < 3:
+                # per-step rollout video of the first sample (reference
+                # test_traffic.py:195-208, viz_traj=False + make_video)
+                render_rollout_video(
+                    os.path.join(cfg.out, "viz", f"rollout_{i}"), store,
+                    int(scene.map_idx[0]),
+                    np.asarray(state_norm.unnormalize(scene.past_gt[0])),
+                    np.asarray(state_norm.unnormalize(
+                        samp["future_pred"][0, 0])),
+                    np.asarray(att_norm.unnormalize(scene.lw[0])),
+                    scene.mask[0],
+                )
             if cfg.test_sample_viz_multi and i < 3:
                 fut_un = np.asarray(state_norm.unnormalize(
                     samp["future_pred"][0, 0]))
