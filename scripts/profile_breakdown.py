@@ -48,11 +48,12 @@ def main():
     crop_unpacked = jax.jit(lambda p: get_map_crop(
         store.raster, store.dx, p, mapix, bounds))
     crop_packed = jax.jit(lambda p: get_map_crop(
-        store.raster, store.dx, p, mapix, bounds, packed=store.packed))
+        store.raster, store.dx, p, mapix, bounds, packed=store.packed,
+                     min_dx=store.min_dx_m))
     t_up = timeit(crop_unpacked, pos)
     t_p = timeit(crop_packed, pos)
-    print(f"crop gather {N} agents 256x256x4: unpacked {t_up*1e3:.1f} ms, "
-          f"packed {t_p*1e3:.1f} ms")
+    print(f"crop {N} agents 256x256x4: XLA-gather path {t_up*1e3:.1f} ms, "
+          f"one-hot kernel path {t_p*1e3:.1f} ms")
 
     enc = MapEncoder(64)
     crop = crop_packed(pos)
