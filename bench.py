@@ -105,11 +105,17 @@ def main():
         f"device={jax.devices()[0]}",
         file=sys.stderr,
     )
+    ratio = round(iters_per_sec / EST_REFERENCE_ITERS_PER_SEC, 2)
     print(json.dumps({
         "metric": "adv_latent_optim_iters_per_sec",
         "value": round(iters_per_sec, 3),
         "unit": f"iters/sec (B={B} scenes x NA={NA}, FT=12, 256px crops)",
-        "vs_baseline": round(iters_per_sec / EST_REFERENCE_ITERS_PER_SEC, 2),
+        # vs_baseline divides by a documented ESTIMATE (~1.5 it/s, see
+        # BASELINE.md) — the reference publishes no numbers and cannot run
+        # in this image. Never quote the ratio as measured.
+        "vs_baseline": ratio,
+        "vs_estimated_baseline": ratio,
+        "baseline_note": "denominator is the BASELINE.md estimate, not a measurement",
     }))
 
 

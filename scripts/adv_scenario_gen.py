@@ -174,6 +174,16 @@ def main(argv=None):
     else:
         shard_batch = None
 
+    # ONE planner instance for the whole run: the fused bridge fn is
+    # memoized on it, so the adversarial runner cache stays hot across
+    # batches (per-batch planner state is threaded through as arguments).
+    planner = None
+    if cfg.planner == "hardcode":
+        pc = PlannerConfig(**PLANNER_CONFIGS[cfg.planner_cfg])
+        planner = (TpuRulePlanner(lane_graphs, store.map_names, pc)
+                   if cfg.planner_backend == "tpu"
+                   else RulePlanner(lane_graphs, store.map_names, pc))
+
     stats = {"candidates": 0, "feasible": 0, "adv_success": 0,
              "sol_success": 0, "planner_precollide": 0}
     pending = []  # feasible scene indices awaiting a batch
@@ -268,33 +278,41 @@ def main(argv=None):
 
         def make_pfn(sc):
             """Reset the planner on the batch and return the closed-loop
-            bridge fn (host numpy or fused device, --planner_backend)."""
+            bridge ``(fn, planner_state)`` (host numpy: state is None and
+            fn is single-arg; fused device: state is the per-batch pytree
+            the two-arg fn consumes — --planner_backend)."""
             init_state = np.asarray(state_norm.unnormalize(
                 sc.past_gt[:, :, -1]))
             lw_un = np.asarray(att_norm.unnormalize(sc.lw))
             if cfg.planner_backend == "tpu":
                 planner.reset(init_state, lw_un, np.asarray(sc.mask),
                               np.asarray(sc.map_idx))
-                return planner.make_fused_fn(state_norm, dt, cfg.future_len)
+                return (planner.make_fused_fn(state_norm, dt,
+                                              cfg.future_len),
+                        planner.state)
             mask_np = np.asarray(sc.mask)
             flat_states, flat_lw, batch_of = [], [], []
             for b in range(sc.B):
-                n = int(mask_np[b].sum())
+                # fully-masked padding scenes (mesh batch padding) still
+                # contribute their ego row so the planner has an 'ego'
+                # object per scene; their rollouts are dropped with the
+                # rest of the padded results (ADVICE r2)
+                n = max(int(mask_np[b].sum()), 1)
                 flat_states.append(init_state[b, :n])
                 flat_lw.append(lw_un[b, :n])
                 batch_of.extend([b] * n)
             planner.reset(np.concatenate(flat_states),
                           np.concatenate(flat_lw), np.array(batch_of), sc.B,
                           np.asarray(sc.map_idx))
-            return make_planner_host_fn(planner, sc.mask, state_norm, dt,
-                                        cfg.future_len)
+            return (make_planner_host_fn(planner, sc.mask, state_norm, dt,
+                                         cfg.future_len), None)
 
         def planner_refit(sc, emb, prior, z0, fit):
             """(Re)set the rule planner for the batch, roll it on the fitted
             scene, replace the ego target, and re-fit 100 iters
             (reference :292-310)."""
-            pfn = make_pfn(sc)
-            planner_init = pfn(fit)
+            pfn, pstate = make_pfn(sc)
+            planner_init = pfn(fit, pstate) if pstate is not None else pfn(fit)
             init_traj_np = np.array(np.asarray(sc.future_gt))
             init_traj_np[:, 0, :, :4] = np.asarray(planner_init)
             init_traj = jnp.asarray(init_traj_np)
@@ -303,7 +321,7 @@ def main(argv=None):
                 init_weights, sc, store, 100, emb, prior,
                 ref_compat=cfg.ref_compat,
             )
-            return pfn, init_traj, z0, fit
+            return (pfn, pstate), init_traj, z0, fit
 
         scene = get_padded_batch(batch_ids)
         B = scene.B
@@ -314,15 +332,10 @@ def main(argv=None):
 
         emb, prior, z_init, init_traj, init_fit = stage1_fit(scene)
 
-        planner = None
-        planner_fn = None
+        planner_fn, planner_state = None, None
         if cfg.planner == "hardcode":
-            pc = PlannerConfig(**PLANNER_CONFIGS[cfg.planner_cfg])
-            planner = (TpuRulePlanner(lane_graphs, store.map_names, pc)
-                       if cfg.planner_backend == "tpu"
-                       else RulePlanner(lane_graphs, store.map_names, pc))
-            planner_fn, init_traj, z_init, init_fit = planner_refit(
-                scene, emb, prior, z_init, init_fit)
+            (planner_fn, planner_state), init_traj, z_init, init_fit = \
+                planner_refit(scene, emb, prior, z_init, init_fit)
             # drop scenes where the planner already collides (reference :312-328)
             lw_un = np.asarray(att_norm.unnormalize(scene.lw))
             mask_np = np.asarray(scene.mask)
@@ -344,8 +357,8 @@ def main(argv=None):
                 scene = get_padded_batch(batch_ids)
                 B = scene.B
                 emb, prior, z_init, init_traj, init_fit = stage1_fit(scene)
-                planner_fn, init_traj, z_init, init_fit = planner_refit(
-                    scene, emb, prior, z_init, init_fit)
+                (planner_fn, planner_state), init_traj, z_init, init_fit = \
+                    planner_refit(scene, emb, prior, z_init, init_fit)
 
         # record the init scenario (ego = data / planner, reference :358-366)
         init_future_pred = np.array(np.asarray(init_fit))
@@ -360,6 +373,7 @@ def main(argv=None):
             planner_rollout_fn=planner_fn, ref_compat=cfg.ref_compat,
             closed_loop_mode=("fused" if cfg.planner_backend == "tpu"
                               else "chunked"),
+            planner_state=planner_state,
         )
         min_agt = np.asarray(min_agt)
         min_t = np.asarray(min_t)

@@ -67,10 +67,12 @@ def main():
     dt = 0.5
 
     def run_mode(mode):
+        pstate = None
         if mode == "tpu":
             tp = TpuRulePlanner(lane_graphs, store.map_names, pc)
             tp.reset(init_state, lw_un, mask_np, np.asarray(scene.map_idx))
             pfn = tp.make_fused_fn(state_norm, dt, FT)
+            pstate = tp.state
             clm = "fused"
         else:
             planner = RulePlanner(lane_graphs, store.map_names, pc)
@@ -91,7 +93,8 @@ def main():
             out = run_adv_gen_optim(
                 model, params, z0, 0.05, weights, scene, store, ITERS, emb,
                 "hardcode", (prior[0][:, 0], prior[1][:, 0]), prior, 2,
-                None, planner_rollout_fn=pfn, closed_loop_mode=clm)
+                None, planner_rollout_fn=pfn, closed_loop_mode=clm,
+                planner_state=pstate)
             jax.block_until_ready(out[1])
 
         t0 = time.time()

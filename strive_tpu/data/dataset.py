@@ -144,24 +144,31 @@ def bucketed_batch_iterator(ds, batch_size: int, shuffle=True,
     for i in range(len(ds)):
         by_bucket.setdefault(ds.bucket_of(i), []).append(i)
     rng = np.random.default_rng(seed)
-    order = sorted(by_bucket)
-    if shuffle:
-        rng.shuffle(order)
     import jax.numpy as jnp
 
-    for b in order:
+    # Form all per-bucket batches first, then shuffle the combined batch
+    # list: same compile-variant count, but the epoch's gradient stream is
+    # no longer correlated by scene density (bucket-major ordering would
+    # feed all dense scenes consecutively, unlike the reference's fully
+    # shuffled batching).
+    planned = []  # (bucket, sel_indices, pad_source)
+    for b in sorted(by_bucket):
         idx = np.asarray(by_bucket[b])
         if shuffle:
             rng.shuffle(idx)
         for start in range(0, len(idx), batch_size):
             sel = idx[start : start + batch_size]
-            if len(sel) < batch_size:
-                if drop_last:
-                    continue
-                pad_n = batch_size - len(sel)
-                batch = ds.get_batch(list(sel) + [int(idx[0])] * pad_n, na=b)
-                mask = np.asarray(batch.mask).copy()
-                mask[len(sel):] = False
-                yield batch.replace(mask=jnp.asarray(mask))
-            else:
-                yield ds.get_batch(list(sel), na=b)
+            if len(sel) < batch_size and drop_last:
+                continue
+            planned.append((b, sel, int(idx[0])))
+    if shuffle:
+        rng.shuffle(planned)
+    for b, sel, pad_src in planned:
+        if len(sel) < batch_size:
+            pad_n = batch_size - len(sel)
+            batch = ds.get_batch(list(sel) + [pad_src] * pad_n, na=b)
+            mask = np.asarray(batch.mask).copy()
+            mask[len(sel):] = False
+            yield batch.replace(mask=jnp.asarray(mask))
+        else:
+            yield ds.get_batch(list(sel), na=b)

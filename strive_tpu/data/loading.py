@@ -77,9 +77,16 @@ def load_environment(cfg, split="train", load_lanegraph=False,
         etl_dir, split, cfg, state_norm, att_norm,
         load_lanegraph=load_lanegraph)
     if pix_per_m is not None:
-        native = 1.0 / float(np.max(np.asarray(store.dx)))
-        if pix_per_m > native:
-            store = upsample_store(store, int(round(pix_per_m / native)))
+        # Base the factor on the FINEST map in the store: all maps share
+        # one stacked raster array, so a single integer factor applies to
+        # every map. Using the coarsest map's resolution here would blow
+        # finer maps far past the requested pix_per_m (64x+ raster memory
+        # in a heterogeneous store) for zero information gain; capping at
+        # the finest map keeps every map at <= pix_per_m.
+        native_finest = 1.0 / float(np.min(np.asarray(store.dx)))
+        if pix_per_m > native_finest:
+            store = upsample_store(store,
+                                   int(round(pix_per_m / native_finest)))
     ds = _maybe_append_scenarios(ds, cfg, split, store, state_norm, att_norm,
                                  nc)
     return ds, store, lgs, state_norm, att_norm

@@ -56,15 +56,23 @@ def run_adv_gen_optim(model, params, cur_z, lr, loss_weights, scene, map_store,
                       feasibility_infront_min, planner_rollout_fn=None,
                       attack_agt_mask=None, future_len=None,
                       veh_coll_buffer=0.1, ref_compat=True,
-                      closed_loop_mode="chunked", planner_refresh_every=1):
+                      closed_loop_mode="chunked", planner_refresh_every=1,
+                      planner_state=None):
     """
     :param cur_z: (B, NA, D) initial latents (ego at slot 0)
     :param planner_name: 'ego' (open-loop replay) or 'hardcode' (closed-loop)
     :param planner_rollout_fn: for 'hardcode': host callable
         (future_pred_norm (B, NA, FT, 4)) -> planner future (B, FT, 4)
         NORMALIZED, non-differentiable (make_planner_host_fn). In
-        'io_callback' mode it must already be io_callback-wrapped.
-    :param closed_loop_mode: 'chunked' | 'io_callback' (see module doc)
+        'io_callback' mode it must already be io_callback-wrapped. In
+        'fused' mode with ``planner_state``, the signature is
+        (future_pred_norm, planner_state) -> (B, FT, 4) — the per-batch
+        state is threaded through as a traced argument so ONE stable fn
+        (and one compiled loop) serves every batch.
+    :param planner_state: pytree of per-batch planner arrays for the fused
+        two-arg contract (``TpuRulePlanner.state`` after ``reset``); None
+        for host/io_callback bridges.
+    :param closed_loop_mode: 'chunked' | 'io_callback' | 'fused' (module doc)
     :param planner_refresh_every: chunked mode: planner re-roll period in
         Adam iterations (1 = reference-exact)
     :param attack_agt_mask: optional (B, NA) fixed-attacker restriction
@@ -76,15 +84,23 @@ def run_adv_gen_optim(model, params, cur_z, lr, loss_weights, scene, map_store,
     FT = future_len if future_len is not None else model.nfuture
     open_loop = planner_name == "ego"
     has_atk_mask = attack_agt_mask is not None
+    has_pstate = planner_state is not None
+    # the planner fn is traced INTO the compiled loop only in
+    # io_callback/fused modes; the chunked bridge calls it between jitted
+    # chunks, so anchoring the runner cache on its (per-batch) identity
+    # there would force a full re-trace every batch for nothing.
+    traced_planner = (not open_loop
+                      and closed_loop_mode in ("io_callback", "fused")
+                      and planner_rollout_fn is not None)
     statics = (int(num_iters), bool(open_loop), int(FT), float(lr),
                tuple(sorted(loss_weights.items())), float(veh_coll_buffer),
                int(feasibility_time),
                None if feasibility_infront_min is None
                else float(feasibility_infront_min),
                bool(ref_compat), str(closed_loop_mode),
-               int(planner_refresh_every), has_atk_mask)
-    anchors = (model, params) if open_loop or planner_rollout_fn is None \
-        else (model, params, planner_rollout_fn)
+               int(planner_refresh_every), has_atk_mask, has_pstate)
+    anchors = (model, params, planner_rollout_fn) if traced_planner \
+        else (model, params)
 
     def build():
         weights = dict(statics[4])
@@ -124,8 +140,14 @@ def run_adv_gen_optim(model, params, cur_z, lr, loss_weights, scene, map_store,
                                ext_future, FT,
                                method="decode_embedding")["future_pred"]
 
+        def _call_planner(pred, pstate):
+            if has_pstate:
+                return planner_rollout_fn(pred, pstate)
+            return planner_rollout_fn(pred)
+
         def _vg(opt_vars, planner_fut_arg, scene, map_store, emb,
-                tgt_prior, other_prior, init_z, atk_mask, ext_future):
+                tgt_prior, other_prior, init_z, atk_mask, ext_future,
+                pstate):
             """One decoder forward, two vmapped pullbacks (module doc)."""
             tgt_z, other_z = opt_vars["tgt"], opt_vars["other"]
             z = _combine_z(tgt_z, other_z)
@@ -134,9 +156,9 @@ def run_adv_gen_optim(model, params, cur_z, lr, loss_weights, scene, map_store,
             if open_loop or planner_fut_arg is not None:
                 planner_fut = planner_fut_arg
             else:
-                # io_callback: planner reacts to the current rollout
-                planner_fut = planner_rollout_fn(
-                    jax.lax.stop_gradient(pred))
+                # io_callback/fused: planner reacts to the current rollout
+                planner_fut = _call_planner(
+                    jax.lax.stop_gradient(pred), pstate)
 
             lt, (c_tgt, g_tgt_direct) = jax.value_and_grad(
                 _tgt_loss, argnums=(0, 1))(pred, tgt_z, planner_fut, scene,
@@ -164,11 +186,11 @@ def run_adv_gen_optim(model, params, cur_z, lr, loss_weights, scene, map_store,
 
         @jax.jit
         def run_full(v0, scene, map_store, emb, tgt_prior, other_prior,
-                     init_z, atk_mask, planner_fut, ext_future):
+                     init_z, atk_mask, planner_fut, ext_future, pstate):
             vf, losses = run_adam_loop_vg(
                 lambda v: _vg(v, planner_fut, scene, map_store, emb,
                               tgt_prior, other_prior, init_z, atk_mask,
-                              ext_future),
+                              ext_future, pstate),
                 v0, lr, num_iters)
             z_final = _combine_z(vf["tgt"], vf["other"])
             final_pred = _dec_fn(z_final, scene, map_store, emb, None)
@@ -184,7 +206,7 @@ def run_adv_gen_optim(model, params, cur_z, lr, loss_weights, scene, map_store,
                 vv, os_ = carry
                 loss, grads = _vg(vv, planner_fut, scene, map_store, emb,
                                   tgt_prior, other_prior, init_z, atk_mask,
-                                  None)
+                                  None, None)
                 updates, os_ = tx.update(grads, os_, vv)
                 vv = optax.apply_updates(vv, updates)
                 return (vv, os_), loss
@@ -232,7 +254,7 @@ def run_adv_gen_optim(model, params, cur_z, lr, loss_weights, scene, map_store,
         z_final, final_pred, losses = fns["run_full"](
             opt_vars0, scene, map_store, embed_info, tgt_prior_distrib,
             other_prior_distrib, init_other_z, atk_mask, planner_fut_norm,
-            ext_future)
+            ext_future, planner_state)
     else:
         # chunked closed loop: K jitted Adam steps per host planner re-roll
         v = opt_vars0
@@ -254,12 +276,17 @@ def run_adv_gen_optim(model, params, cur_z, lr, loss_weights, scene, map_store,
         z_final, final_pred = fns["decode_full"](v, scene, map_store,
                                                  embed_info)
 
-    # replace ego with the TRUE planner trajectory (reference :177-193)
+    # replace ego with the TRUE planner trajectory (reference :177-193).
+    # NOTE: call the CURRENT planner_rollout_fn from this call's scope, not
+    # one captured in a cached runner — in chunked mode the runner outlives
+    # the per-batch host bridge closure.
     if open_loop:
         planner_final = scene.future_gt[:, 0, :FT, :4]
     else:
+        sg_pred = jax.lax.stop_gradient(final_pred)
         planner_final = jnp.asarray(
-            planner_rollout_fn(jax.lax.stop_gradient(final_pred)))
+            planner_rollout_fn(sg_pred, planner_state) if has_pstate
+            else planner_rollout_fn(sg_pred))
     final_result = final_pred.at[:, 0].set(planner_final)
 
     # one more loss pass to extract attacker agent/time (reference :195-209)

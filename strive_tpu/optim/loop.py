@@ -83,7 +83,11 @@ def run_adam_loop_vg(value_and_grad_fn, init_vars, lr, num_iters,
     return final_vars, (losses if return_history else losses[-1])
 
 
-_RUNNER_CACHE = {}
+from collections import OrderedDict
+
+_RUNNER_CACHE = OrderedDict()
+_RUNNER_CACHE_MAX = 16  # LRU bound: stale entries pin compiled executables
+                        # and their captured arrays (ADVICE r2)
 
 
 def cached_runner(name, anchors, statics, builder):
@@ -105,8 +109,11 @@ def cached_runner(name, anchors, statics, builder):
     key = (name, tuple(id(a) for a in anchors), statics)
     ent = _RUNNER_CACHE.get(key)
     if ent is not None and all(a is b for a, b in zip(ent[0], anchors)):
+        _RUNNER_CACHE.move_to_end(key)
         return ent[1]
     fn = builder()
     # keep strong refs to anchors so their ids stay valid for the key
     _RUNNER_CACHE[key] = (tuple(anchors), fn)
+    while len(_RUNNER_CACHE) > _RUNNER_CACHE_MAX:
+        _RUNNER_CACHE.popitem(last=False)
     return fn

@@ -32,14 +32,16 @@ def make_planner_host_fn(planner, scene_mask, state_norm, dt, future_len):
     smean = np.asarray(state_norm.mean)[:4]
     sstd = np.asarray(state_norm.std)[:4]
     plan_t = np.linspace(dt, dt * future_len, future_len)
-    counts = mask_np.sum(axis=1) - 1  # non-ego agents per scene
+    # non-ego agents per scene; fully-masked padding scenes contribute
+    # their ego only (0 non-ego observations), never a negative count
+    counts = np.maximum(mask_np.sum(axis=1) - 1, 0)
     agent_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
 
     def host_fn(future_pred_norm):
         fp = np.asarray(future_pred_norm) * sstd + smean  # (B, NA, FT, 4)
         nonego = []
         for b in range(B):
-            n = int(mask_np[b].sum())
+            n = max(int(mask_np[b].sum()), 1)
             nonego.append(fp[b, 1:n])
         nonego = (np.concatenate(nonego, axis=0) if nonego
                   else np.empty((0, future_len, 4)))

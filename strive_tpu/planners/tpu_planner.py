@@ -322,11 +322,19 @@ def _walk(tab: LaneTables, edge0, code, forward, K):
     valid = v >= 0
     xy = tab.vxy[jnp.clip(v, 0, tab.vxy.shape[0] - 1)]
     # pad dead ends by extrapolating the last valid direction (reference
-    # _extend :416-431 adds one far point; linear interp is equivalent)
-    last = jnp.maximum(jnp.max(jnp.where(valid, i, 0)), 1)
+    # _extend :416-431 adds one far point; linear interp is equivalent).
+    # A walk can have a SINGLE valid vertex (the matched edge dead-ends
+    # immediately); its direction is then the edge's own heading — deriving
+    # it from xy[last-1] would read a clipped garbage gather and reverse
+    # the spline (r3 randomized-sweep finding).
+    last = jnp.max(jnp.where(valid, i, 0))
     p_last = xy[last]
-    d_last = xy[last] - xy[last - 1]
-    d_last = d_last / jnp.maximum(jnp.linalg.norm(d_last), 1e-6)
+    d_seg = xy[last] - xy[jnp.maximum(last - 1, 0)]
+    seg_norm = jnp.linalg.norm(d_seg)
+    edge_dir = tab.edges[jnp.minimum(edge0, E - 1), 2:4]
+    edge_dir = edge_dir if forward else -edge_dir
+    d_last = jnp.where(seg_norm > 1e-6,
+                       d_seg / jnp.maximum(seg_norm, 1e-6), edge_dir)
     steps = (i - last).astype(jnp.float32)
     extrap = p_last[None] + jnp.maximum(steps, 1.0)[:, None] * d_last[None]
     xy = jnp.where(valid[:, None], xy, extrap)
@@ -520,26 +528,41 @@ def _boxes2circles(b):
 # ---------------------------------------------------------------------------
 
 
-def _plan_step(state, lw, alive, tab, cfg: StaticPlanCfg):
-    """Plan the ego's next pose (reference compute_splines +
-    compute_action, ``:224-246``).
+def _ego_spline(pose, tab: LaneTables, cfg: StaticPlanCfg):
+    """Ego route spline: globally closest match, branch-0 walk — identical
+    to slot 0 of :func:`_agent_splines` (reference ``:829-857`` follows
+    ``splines[0]``), with the constant-heading fallback."""
+    ok, closest, dist = _match_edges(pose, tab, cfg)
+    d = jnp.where(ok, dist, BIG)
+    rep = jnp.argmin(d).astype(jnp.int32)
+    has = d[rep] < BIG
+    zero = jnp.zeros(2, jnp.int32)
+    fwd, _ = _walk(tab, rep, zero, True, cfg.KWALK)
+    bwd, _ = _walk(tab, rep, zero, False, cfg.KWALK)
+    xys = jnp.concatenate([bwd[::-1], fwd], axis=0)
+    t2, vals = _route_spline(xys, cfg.KWALK, pose, cfg)
+    tc, vc = _const_heading_spline(pose, cfg)
+    t2 = jnp.where(has, t2, tc)
+    vals = jnp.where(has, vals, vc)
+    return t2, vals, has
 
-    :param state: (NA, 4) x, y, h, s (h in radians); ego = row 0
-    :param lw: (NA, 2); alive: (NA,) bool
-    :return: (newx, newy, newh, stgt)
+
+def _others_step_data(state, alive, lw, tab, cfg: StaticPlanCfg):
+    """Ego-INDEPENDENT half of one planner dt-step: every other agent's
+    route splines, prediction fan, and collision circles (reference
+    ``:694-721``). Other agents move along their recorded observations, so
+    this is a pure function of the plan time — ``plan_rollout`` batches it
+    over ALL steps at once, leaving only the ego's own spline and scoring
+    in the sequential scan (the r2 planner spent ~96 ms re-deriving all
+    NA agents' splines serially per step, PERF.md r3).
+
+    :param state: (NA, 4) x, y, h, s at this plan step
+    :return: (ocirc (T1, K, 5, 3), ovalid0 (K,) = alive & spline-valid)
     """
     NA = state.shape[0]
     poses = (state[:, 0], state[:, 1], state[:, 2])
-
-    t2, vals, sp_valid, has_match = jax.vmap(
+    t2, vals, sp_valid, _ = jax.vmap(
         lambda x, y, h: _agent_splines((x, y, h), tab, cfg))(*poses)
-    # t2/vals: (NA, MC*NBR, G[, 4])
-
-    # --- other agents' predicted trajectories (reference :694-721) --------
-    ego = state[0]
-    near = (jnp.hypot(state[:, 0] - ego[0], state[:, 1] - ego[1])
-            < cfg.interacdist) & alive
-    near = near.at[0].set(False)
     T1 = cfg.nsteps + 1
     sfacs = jnp.asarray(cfg.predsfacs)
     afacs = jnp.asarray(cfg.predafacs)
@@ -553,13 +576,9 @@ def _plan_step(state, lw, alive, tab, cfg: StaticPlanCfg):
     tevals = jax.vmap(other_tevals)(state[:, 3])  # (NA, NTEV, T1)
     NTEV = tevals.shape[1]
     C = cfg.MC * cfg.NBR
-
-    def eval_spline(t2_a, vals_a, te):
-        return _interp_cols(te, t2_a, vals_a)  # (T1, 4)
-
     # (NA, C, NTEV, T1, 4)
     opreds = jax.vmap(lambda ts, vs, tevs: jax.vmap(
-        lambda t_a, v_a: jax.vmap(lambda te: eval_spline(t_a, v_a, te))(tevs)
+        lambda t_a, v_a: jax.vmap(lambda te: _interp_cols(te, t_a, v_a))(tevs)
     )(ts, vs))(t2, vals, tevals)
     oh = jnp.arctan2(opreds[..., 3], opreds[..., 2])
     obox = jnp.concatenate([
@@ -568,22 +587,44 @@ def _plan_step(state, lw, alive, tab, cfg: StaticPlanCfg):
                          opreds.shape[:-1] + (2,))], axis=-1)
     K = NA * C * NTEV
     obox = obox.reshape(K, T1, 5).transpose(1, 0, 2)  # (T1, K, 5)
-    ovalid = (near[:, None, None] & sp_valid[:, :, None]
-              ).reshape(NA * C, 1) & jnp.ones((1, NTEV), bool)
-    ovalid = ovalid.reshape(K)
+    ocirc = _boxes2circles(obox)                      # (T1, K, 5, 3)
+    ovalid0 = (alive[:, None, None] & sp_valid.reshape(NA, C)[:, :, None])
+    ovalid0 = (ovalid0 & jnp.ones((1, 1, NTEV), bool)).reshape(K)
+    return ocirc, ovalid0
+
+
+def _plan_step_ego(ego, lw0, opos, ocirc, ovalid0, tab,
+                   cfg: StaticPlanCfg):
+    """Ego-DEPENDENT half of one planner dt-step: ego spline, candidate
+    speed profiles, collision scoring against the precomputed other-agent
+    circles, profile pick, and the exact-speed step (reference
+    compute_splines + compute_action, ``:224-246, 724-857``).
+
+    :param ego: (4,) x, y, h, s; lw0: (2,)
+    :param opos: (NA, 2) other agents' positions at this step
+    :param ocirc/ovalid0: from :func:`_others_step_data`
+    :return: (newx, newy, newh, stgt)
+    """
+    x0, y0, h0, s0 = ego[0], ego[1], ego[2], ego[3]
+    t2e, valse, has_match = _ego_spline((x0, y0, h0), tab, cfg)
+
+    NA = opos.shape[0]
+    CN = ovalid0.shape[0] // NA
+    near = jnp.hypot(opos[:, 0] - x0, opos[:, 1] - y0) < cfg.interacdist
+    near = near.at[0].set(False)
+    ovalid = ovalid0 & jnp.repeat(near, CN)
+    T1 = cfg.nsteps + 1
 
     # --- ego candidate profiles + scoring (reference :724-801) ------------
-    profs, pdists, s1s, accs = _gen_sprofiles(ego[3], cfg)  # (NP, T1)
+    profs, pdists, s1s, accs = _gen_sprofiles(s0, cfg)  # (NP, T1)
     NP = profs.shape[0]
-    elocs = jax.vmap(lambda te: eval_spline(t2[0, 0], vals[0, 0], te))(
-        pdists)  # (NP, T1, 4)
+    elocs = jax.vmap(lambda te: _interp_cols(te, t2e, valse))(pdists)
     ehead = jnp.arctan2(elocs[..., 3], elocs[..., 2])
     ebox = jnp.concatenate([
         elocs[..., :2], ehead[..., None],
-        jnp.broadcast_to(lw[0], (NP, T1, 2))], axis=-1)  # (NP, T1, 5)
+        jnp.broadcast_to(lw0, (NP, T1, 2))], axis=-1)  # (NP, T1, 5)
 
     ecirc = _boxes2circles(ebox)                     # (NP, T1, 5, 3)
-    ocirc = _boxes2circles(obox)                     # (T1, K, 5, 3)
     d = (jnp.linalg.norm(
         ecirc[:, :, None, :, None, :2] - ocirc[None, :, :, None, :, :2],
         axis=-1)
@@ -604,21 +645,19 @@ def _plan_step(state, lw, alive, tab, cfg: StaticPlanCfg):
     # with no interacting agents the reference always takes the farthest
     # profile (choose_profile empty branch); prefer_stop (no lane match)
     # flips to the shortest safe profile otherwise (:768-801)
-    prefer_stop = (~has_match[0]) & any_other
+    prefer_stop = (~has_match) & any_other
     dist_key = jnp.where(okp, jnp.where(prefer_stop, -reach, reach), -BIG)
     best_ok = jnp.argmax(dist_key)
     best_min = jnp.argmin(pcol)
     pick = jnp.where(jnp.any(okp), best_ok, best_min)
 
     # step along the spline (reference compute_action :829-857)
-    stgt = _speed_profile(ego[3], s1s[pick], accs[pick], 1, cfg.dt)[1]
-    loc = eval_spline(t2[0, 0], vals[0, 0],
-                      jnp.array([cfg.dt * stgt]))[0]
+    stgt = _speed_profile(s0, s1s[pick], accs[pick], 1, cfg.dt)[1]
+    loc = _interp_cols(jnp.array([cfg.dt * stgt]), t2e, valse)[0]
     newx, newy = loc[0], loc[1]
     newh = jnp.arctan2(loc[3], loc[2])
 
     # exact-speed postprocess (reference :642-666)
-    x0, y0, h0 = ego[0], ego[1], ego[2]
     dxy = jnp.array([newx - x0, newy - y0])
     dist0 = jnp.linalg.norm(dxy)
     sp = dist0 / cfg.dt
@@ -660,38 +699,46 @@ def plan_rollout(tab: LaneTables, cfg: StaticPlanCfg, init_state, lw,
     horizon = ts[jnp.maximum(first_nan - 1, 0)]  # (NA,) last valid time
     obs = jnp.where(nanrow[..., None], 0.0, obs)
 
-    def interp_obs(a, tq):
-        return _interp_cols(jnp.array([tq]), ts, obs[a])[0]
+    # --- others' states at EVERY plan time, batched (ego-independent) -----
+    # Other agents move along their observations (reference update_wstate
+    # :601-621): position/heading are the interpolated obs, speed is the
+    # finite difference from the previous plan step. None of it depends on
+    # the ego plan, so the per-step spline/prediction/circle derivation
+    # (the bulk of the planner) runs as ONE batched computation over all
+    # Tsteps+1 steps; the sequential scan keeps only the ego.
+    t_grid = cfg.dt * jnp.arange(1, Tsteps + 1, dtype=jnp.float32)
+    o = jax.vmap(lambda a: _interp_cols(t_grid, ts, obs[a]))(
+        jnp.arange(NA))                       # (NA, Tsteps, 4)
+    o = o.transpose(1, 0, 2)                  # (Tsteps, NA, 4)
+    pos_prev = jnp.concatenate([init_state[None, :, :2], o[:-1, :, :2]],
+                               axis=0)
+    ohd = jnp.arctan2(o[..., 3], o[..., 2])
+    dxy = o[..., :2] - pos_prev
+    osp = jnp.hypot(dxy[..., 0], dxy[..., 1]) / cfg.dt
+    osgn = jnp.where(dxy[..., 0] * o[..., 2] + dxy[..., 1] * o[..., 3] >= 0,
+                     1.0, -1.0)
+    states_later = jnp.stack([o[..., 0], o[..., 1], ohd, osgn * osp], -1)
+    state_all = jnp.concatenate([init_state[None], states_later], axis=0)
+    alive_later = alive0[None, :] & (t_grid[:, None]
+                                     <= horizon[None, :] + 1e-6)
+    alive_all = jnp.concatenate([alive0[None], alive_later], axis=0)
 
-    def step(carry, _):
-        state, alive, t = carry
-        px, py, ph, stgt = _plan_step(state, lw, alive, tab, cfg)
-        t1 = t + cfg.dt
-        # others move along their observations; drop out past the horizon
-        # (reference update_wstate :601-621)
-        o = jax.vmap(lambda a: interp_obs(a, t1))(jnp.arange(NA))
-        oh = jnp.arctan2(o[:, 3], o[:, 2])
-        osp = jnp.hypot(o[:, 0] - state[:, 0],
-                        o[:, 1] - state[:, 1]) / cfg.dt
-        osgn = jnp.where((o[:, 0] - state[:, 0]) * o[:, 2]
-                         + (o[:, 1] - state[:, 1]) * o[:, 3] >= 0, 1.0, -1.0)
-        new_state = jnp.stack([o[:, 0], o[:, 1], oh, osgn * osp], -1)
-        new_state = new_state.at[0].set(
-            jnp.array([px, py, ph, stgt]))
-        new_alive = alive & (t1 <= horizon + 1e-6)
-        new_alive = new_alive.at[0].set(True)
-        return (new_state, new_alive, t1), jnp.array(
-            [px, py, jnp.cos(ph), jnp.sin(ph)])
+    ocirc_all, ovalid_all = jax.vmap(
+        lambda st, al: _others_step_data(st, al, lw, tab, cfg))(
+        state_all, alive_all)
 
-    state0 = init_state
-    alive = alive0
-    # first action from t=0 (reference records the first planned control
-    # before the loop, :238-246)
-    (state1, alive1, t1), out0 = step((state0, alive, jnp.float32(0.0)),
-                                      None)
-    (_, _, _), outs = jax.lax.scan(step, (state1, alive1, t1), None,
-                                   length=Tsteps)
-    return jnp.concatenate([out0[None], outs], axis=0)
+    def step(ego, inp):
+        opos, oc, ov = inp
+        px, py, ph, stgt = _plan_step_ego(ego, lw[0], opos, oc, ov, tab,
+                                          cfg)
+        new_ego = jnp.stack([px, py, ph, stgt])
+        return new_ego, jnp.array([px, py, jnp.cos(ph), jnp.sin(ph)])
+
+    # first action planned from t=0 (reference records the first planned
+    # control before the loop, :238-246), then one per dt step
+    _, outs = jax.lax.scan(
+        step, init_state[0], (state_all[:, :, :2], ocirc_all, ovalid_all))
+    return outs
 
 
 # ---------------------------------------------------------------------------
@@ -716,6 +763,7 @@ class TpuRulePlanner:
         self.tables = stack_lane_tables(
             [build_lane_tables(lane_graphs[m]) for m in self.map_names])
         self.state = None
+        self._fused_fns = {}
 
     def reset(self, init_state, lw, mask, map_idx):
         """:param init_state: (B, NA, 6) UNNORMALIZED (x,y,hx,hy,s,hdot)
@@ -742,20 +790,36 @@ class TpuRulePlanner:
             jnp.asarray(planner_t), float(np.asarray(planner_t)[-1]))
 
     def make_fused_fn(self, state_norm, dt, future_len):
-        """Closed-loop bridge with the ``make_planner_host_fn`` contract:
-        fn(future_pred_norm (B, NA, FT, 4)) -> (B, FT, 4) NORMALIZED —
-        but pure jax, so it traces into the optimization loop."""
+        """Closed-loop bridge, pure jax so it traces into the optimization
+        loop: ``fn(future_pred_norm (B, NA, FT, 4), planner_state) ->
+        (B, FT, 4)`` NORMALIZED.
+
+        The per-batch planner state (``self.state`` after ``reset``) is an
+        ARGUMENT, not a closure capture: the returned fn is memoized per
+        (normalizer, dt, future_len), so the adversarial driver's runner
+        cache keys on a stable object across batches — re-tracing the fused
+        300-iteration loop per batch (minutes on this toolchain) was the
+        single worst host-side cost (ADVICE r2)."""
+        key = (id(state_norm), float(dt), int(future_len))
+        fn = self._fused_fns.get(key)
+        if fn is not None:
+            return fn
         smean = jnp.asarray(np.asarray(state_norm.mean)[:4])
         sstd = jnp.asarray(np.asarray(state_norm.std)[:4])
         plan_t = jnp.linspace(dt, dt * future_len, future_len)
+        t_end = float(dt * future_len)
+        tables, cfg = self.tables, self.cfg
 
-        def fn(future_pred_norm):
+        def fn(future_pred_norm, pstate):
             fp = future_pred_norm * sstd + smean
             # mask the ego row out of the observations
             fp = fp.at[:, 0].set(jnp.nan)
-            out = self.rollout_batch(fp, plan_t, plan_t)
+            out = _rollout_batch_jit(
+                tables, cfg, pstate["init"], pstate["lw"], pstate["mask"],
+                pstate["map_idx"], fp, plan_t, plan_t, t_end)
             return (out - smean) / sstd
 
+        self._fused_fns[key] = fn
         return fn
 
 

@@ -121,7 +121,14 @@ class Trainer:
                 self.state, metrics = step_fn(self.state, scene, map_store,
                                               sub, kl_w)
                 loss_val = float(metrics["loss"])
-            except Exception as e:  # skip bad batches, keep training
+            except RuntimeError as e:
+                # Runtime-only batch-skip mirrors the reference
+                # (train_traffic.py:120-131 catches RuntimeError; XLA's
+                # XlaRuntimeError subclasses RuntimeError). A failure on the
+                # very first batch means the step itself is broken (shape
+                # bug, bad loss) — re-raise instead of "training" on nothing.
+                if n == 0:
+                    raise
                 Logger.log(f"  caught error in batch {i}: {e}; skipping")
                 continue
             n += 1
