@@ -159,7 +159,7 @@ def _untileize(vals, N, L, W):
 
 def get_map_crop_kernel(raster, dx, pos, mapixes, bounds, L=256, W=256,
                         dtype=jnp.float32, packed=None, num_channels=None,
-                        kr=2, kc=2):
+                        kr=2, kc=2, layout="nchw"):
     """Drop-in replacement for ``queries.get_map_crop`` on the kernel path.
 
     Semantics identical to the reference ``get_map_obs``
@@ -208,6 +208,13 @@ def get_map_crop_kernel(raster, dx, pos, mapixes, bounds, L=256, W=256,
     origin = packed[mapixes, 0, 0].astype(jnp.int32)
     vals = jnp.where(outside, origin[:, None, None], vals)
 
+    if layout == "nhwc":
+        # channels-last epilogue: the untileize transpose, bit-unpack, and
+        # layout land in ONE fused XLA pass feeding the (NHWC-native) CNN,
+        # instead of materializing NCHW and relayouting (PERF.md r3)
+        shifts = jnp.arange(C, dtype=jnp.int32)[None, None, None, :]
+        obs = (vals[..., None] >> shifts) & 1
+        return obs.astype(dtype)
     shifts = jnp.arange(C, dtype=jnp.int32)[None, :, None, None]
     obs = (vals[:, None, :, :] >> shifts) & 1
     return obs.astype(dtype)

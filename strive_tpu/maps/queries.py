@@ -89,7 +89,7 @@ def _pixel_lookup(maps, dx, xys, mapixes):
 
 def get_map_crop(raster, dx, pos, mapixes, bounds, L=256, W=256,
                  dtype=jnp.float32, packed=None, num_channels=None,
-                 min_dx=None):
+                 min_dx=None, layout="nchw"):
     """Oriented local map crop around each pose.
 
     :param raster: (M, C, H, W) uint8
@@ -102,7 +102,9 @@ def get_map_crop(raster, dx, pos, mapixes, bounds, L=256, W=256,
     :param min_dx: optional static (host float) smallest meters-per-pixel;
         when given with ``packed``, the Pallas one-hot crop kernel is used
         if it supports the configuration (bit-exact, ~100x faster).
-    :return: (B, C, L, W) in ``dtype``
+    :param layout: 'nchw' (reference layout, default) or 'nhwc'
+        (channels-last, skips a relayout when feeding the NHWC CNN)
+    :return: (B, C, L, W) in ``dtype`` ((B, L, W, C) for 'nhwc')
 
     Matches reference ``get_map_obs`` (``nuscenes_utils.py:234-264``)
     including the nan-pose -> pixel(0,0) guard.
@@ -115,7 +117,8 @@ def get_map_crop(raster, dx, pos, mapixes, bounds, L=256, W=256,
             kr, kc = crop_kernel.kernel_blocks(bounds, min_dx, L, W)
             return crop_kernel.get_map_crop_kernel(
                 raster, dx, pos, mapixes, bounds, L=L, W=W, dtype=dtype,
-                packed=packed, num_channels=num_channels, kr=kr, kc=kc)
+                packed=packed, num_channels=num_channels, kr=kr, kc=kc,
+                layout=layout)
     # OOB is defined by the REAL raster extent (packed may carry kernel-
     # alignment padding); indexing strides follow the array actually read
     Mm, C, H, Wp = raster.shape
@@ -139,8 +142,12 @@ def get_map_crop(raster, dx, pos, mapixes, bounds, L=256, W=256,
     if packed is not None:
         base = mapixes.astype(jnp.int32)[:, None, None] * (Hs * Ws)
         bits = jnp.take(packed.reshape(-1), base + spatial, mode="clip")
-        shifts = jnp.arange(C, dtype=jnp.uint8)[None, :, None, None]
-        obs = (bits[:, None, :, :] >> shifts) & jnp.uint8(1)
+        if layout == "nhwc":
+            shifts = jnp.arange(C, dtype=jnp.uint8)[None, None, None, :]
+            obs = (bits[..., None] >> shifts) & jnp.uint8(1)
+        else:
+            shifts = jnp.arange(C, dtype=jnp.uint8)[None, :, None, None]
+            obs = (bits[:, None, :, :] >> shifts) & jnp.uint8(1)
         return obs.astype(dtype)
 
     # gather all channels with one flat take: (B, L, W) spatial index shared
@@ -149,6 +156,8 @@ def get_map_crop(raster, dx, pos, mapixes, bounds, L=256, W=256,
                  + jnp.arange(C, dtype=jnp.int32)[None, :]) * (H * Wp)  # (B, C)
     flat_idx = chan_base[:, :, None, None] + spatial[:, None, :, :]
     obs = jnp.take(raster.reshape(-1), flat_idx, mode="clip")
+    if layout == "nhwc":
+        obs = obs.transpose(0, 2, 3, 1)
     return obs.astype(dtype)
 
 

@@ -232,12 +232,20 @@ class TrafficModel(nn.Module):
         B, NA, _ = pos.shape
         pos_unnorm = self.state_unnorm(pos).reshape(B * NA, 4)
         mapixes = jnp.repeat(map_idx, NA)
+        # channels-last end to end: the crop epilogue emits NHWC directly
+        # into the NHWC-native conv stack (no NCHW materialization).
+        # STRIVE_DISABLE_NHWC_CROP restores the NCHW path (A/B diagnostics).
+        import os
+
+        layout = ("nchw" if os.environ.get("STRIVE_DISABLE_NHWC_CROP")
+                  else "nhwc")
         crop = get_map_crop(
             map_store.raster, map_store.dx, pos_unnorm, mapixes,
             self.map_bounds, L=self.map_obs_size_pix, W=self.map_obs_size_pix,
             packed=map_store.packed, min_dx=map_store.min_dx_m,
+            layout=layout,
         )
-        feat = self.map_encoder(crop)
+        feat = self.map_encoder(crop, input_layout=layout)
         return feat.reshape(B, NA, self.map_feat_size)
 
     def _local_traj_feat(self, frame, traj, vis, lw, sem, encoder_mlp=None,
