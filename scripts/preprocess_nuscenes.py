@@ -22,7 +22,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from strive_tpu.data.etl import CAT2KEY, REDUCE_MAP, states_from_xyh
+from strive_tpu.data.etl import (CAT2KEY, REDUCE_MAP,
+                                 agent_states_with_filter,
+                                 drivable_keep_mask)
 from strive_tpu.maps.lanegraph import flip_lanegraph_x, process_nuscenes_lanegraph
 from strive_tpu.maps.store import NUSC_MAP_SIZES, ROAD_LAYERS
 
@@ -113,7 +115,7 @@ def extract_scenes(nusc, scene2map, map_list, key2cat, categories,
         T = len(ego_rows)
         ts = np.array([r[4] * 1e-6 for r in ego_rows])
         names = ["ego"] + [k for k in agents if k != "ego"]
-        trajs, viss, lws, sems, kinds = [], [], [], [], []
+        xs, hhs, lws, sems, kinds = [], [], [], [], []
         for name in names:
             a = agents[name]
             x = np.full((T, 4), np.nan)
@@ -122,15 +124,18 @@ def extract_scenes(nusc, scene2map, map_list, key2cat, categories,
                 i = t_index[r[4]]
                 x[i] = r[:4]
                 hh[i] = np.arctan2(r[3], r[2])
-            traj, accel, vis = states_from_xyh(x, hh, ts)
-            trajs.append(traj)
-            viss.append(vis)
+            xs.append(x)
+            hhs.append(hh)
             lws.append([a["l"], a["w"]])
             sems.append(cat2vec[a["k"]])
             kinds.append(a["k"])
+        # raw (pre-filter, pre-finite-difference) arrays; states are
+        # computed in finalize_scene_states AFTER the drivable filter,
+        # matching the reference order (nuscenes_dataset.py:504-553)
         out[scene] = {
-            "traj": np.stack(trajs).astype(np.float32),
-            "vis": np.stack(viss).astype(np.float32),
+            "raw_x": np.stack(xs),
+            "raw_h": np.stack(hhs),
+            "ts": ts,
             "lw": np.array(lws, np.float32),
             "sem": np.stack(sems),
             "map_idx": map_list.index(scene2map[scene]),
@@ -145,47 +150,54 @@ def extract_scenes(nusc, scene2map, map_list, key2cat, categories,
     return out
 
 
-def apply_drivable_filter(scenes, raster, dx, carpark_channel,
+def finalize_scene_states(scenes, raster, dx, carpark_channel,
                           challenge_keep=None):
-    """Drop agent frames off drivable (<30%) or on carpark (>=30%)
-    (reference ``nuscenes_dataset.py:504-522``). Agents with ANY
-    prediction-challenge frame bypass the filter entirely (reference
-    ``:494-505``: "need all frames of any vehicles that we need to make a
-    pred for").
+    """Reference ``nuscenes_dataset.py:504-553`` in the reference ORDER:
+    drop observed frames off drivable (<30% of footprint) or on carpark
+    (>=30%) from the RAW positions, drop agents left with no observed
+    frame (``:531``), THEN compute finite-difference states — the filter
+    shapes the velocity/visibility patterns at its boundaries. Agents with
+    ANY prediction-challenge frame bypass the filter entirely (``:494-505``:
+    "need all frames of any vehicles that we need to make a pred for").
 
     :param challenge_keep: optional {scene: (NAg,) bool} challenge agents
     """
-    import jax.numpy as jnp
-
-    from strive_tpu.maps.queries import check_on_layer
-
-    drivable = jnp.asarray(raster[:, 0])
-    carpark = (jnp.asarray(raster[:, carpark_channel])
+    drivable = raster[:, 0]
+    carpark = (raster[:, carpark_channel]
                if carpark_channel is not None else None)
-    dxj = jnp.asarray(dx)
-    for sc in scenes.values():
-        NAg, T, _ = sc["traj"].shape
-        flat = sc["traj"][:, :, :4].reshape(-1, 4)
-        valid_in = ~np.isnan(flat).any(-1)
-        safe = np.where(valid_in[:, None], flat, 0.0).astype(np.float32)
-        lw = np.repeat(sc["lw"], T, axis=0)
-        mapix = np.full((NAg * T,), sc["map_idx"], np.int32)
-        frac = np.asarray(check_on_layer(drivable, dxj, jnp.asarray(safe),
-                                         jnp.asarray(lw), jnp.asarray(mapix)))
-        bad = frac < 0.3
-        if carpark is not None:
-            cfrac = np.asarray(check_on_layer(carpark, dxj, jnp.asarray(safe),
-                                              jnp.asarray(lw),
-                                              jnp.asarray(mapix)))
-            bad |= cfrac >= 0.3
-        bad &= valid_in
-        bad = bad.reshape(NAg, T)
-        bad[0] = False  # never filter ego
-        if challenge_keep is not None and sc["name"] in challenge_keep:
-            bad[challenge_keep[sc["name"]]] = False
-        sc["traj"][bad] = np.nan
-        sc["vis"][bad] = 0.0
-    return scenes
+    out = {}
+    for name, sc in scenes.items():
+        NAg = sc["raw_x"].shape[0]
+        ckeep = (challenge_keep or {}).get(sc["name"],
+                                           np.zeros(NAg, bool))
+        trajs, viss, rows = [], [], []
+        for a in range(NAg):
+            x, hh = sc["raw_x"][a], sc["raw_h"][a]
+            if a == 0 or (a < len(ckeep) and ckeep[a]):
+                keep = None  # ego and challenge agents are never filtered
+            else:
+                keep = drivable_keep_mask(x, sc["lw"][a], sc["map_idx"],
+                                          drivable, dx, carpark=carpark)
+            st = agent_states_with_filter(x, hh, sc["ts"], keep)
+            if st is None:
+                continue  # never on drivable surface -> dropped
+            traj, _accel, vis = st
+            trajs.append(traj)
+            viss.append(vis)
+            rows.append(a)
+        rows = np.asarray(rows)
+        out[name] = {
+            "traj": np.stack(trajs).astype(np.float32),
+            "vis": np.stack(viss).astype(np.float32),
+            "lw": sc["lw"][rows],
+            "sem": sc["sem"][rows],
+            "map_idx": sc["map_idx"],
+            "name": sc["name"],
+            "kinds": [sc["kinds"][a] for a in rows],
+            "agent_tokens": [sc["agent_tokens"][a] for a in rows],
+            "sample_tokens": sc["sample_tokens"],
+        }
+    return out
 
 
 def main():
@@ -286,7 +298,7 @@ def main():
     carpark_chan = (1 + [l for l in args.layers if l not in ROAD_LAYERS]
                     .index("carpark_area")
                     if "carpark_area" in args.layers else None)
-    scenes = apply_drivable_filter(scenes, raster, dx, carpark_chan,
+    scenes = finalize_scene_states(scenes, raster, dx, carpark_chan,
                                    challenge_keep=challenge_keep)
 
     np.savez_compressed(os.path.join(out_dir, "scenes.npz"),

@@ -104,6 +104,59 @@ def states_from_xyh(x, h, t):
     return traj, accel, (~no_vis).astype(np.float32)
 
 
+def drivable_keep_mask(x, lw, map_idx, drivable, dx, carpark=None):
+    """Per-frame agent filter (reference ``nuscenes_dataset.py:504-522``):
+    keep an OBSERVED frame iff >= 30% of the footprint is on drivable area
+    and (when a carpark layer exists) < 30% is on a carpark. Unobserved
+    (NaN) frames are trivially kept — the reference only evaluates the
+    filter at observed frames.
+
+    :param x: (T, 4) raw (x, y, hx, hy), NaN at unobserved frames
+    :param lw: (2,); map_idx: int
+    :param drivable: (M, H, W) layer-0 raster; carpark: (M, H, W) or None
+    :return: (T,) bool
+    """
+    import jax.numpy as jnp
+
+    from ..maps.queries import check_on_layer
+
+    T = x.shape[0]
+    valid_in = ~np.isnan(x).any(-1)
+    safe = np.where(valid_in[:, None], x, 0.0).astype(np.float32)
+    lw_r = np.repeat(np.asarray(lw, np.float32)[None], T, axis=0)
+    mapix = np.full((T,), int(map_idx), np.int32)
+    frac = np.asarray(check_on_layer(jnp.asarray(drivable), jnp.asarray(dx),
+                                     jnp.asarray(safe), jnp.asarray(lw_r),
+                                     jnp.asarray(mapix)))
+    keep = frac >= 0.3
+    if carpark is not None:
+        cfrac = np.asarray(check_on_layer(jnp.asarray(carpark),
+                                          jnp.asarray(dx), jnp.asarray(safe),
+                                          jnp.asarray(lw_r),
+                                          jnp.asarray(mapix)))
+        keep &= cfrac < 0.3
+    return keep | ~valid_in
+
+
+def agent_states_with_filter(x, hh, ts, keep=None):
+    """Apply the frame filter to the RAW positions, THEN finite-difference
+    (reference order, ``nuscenes_dataset.py:522-553``: filtered frames
+    become NaN positions BEFORE velocity/heading rates, which shapes the
+    visibility pattern at filter boundaries).
+
+    :param x: (T, 4) raw states, NaN at unobserved frames; hh: (T,) heading
+    :param keep: optional (T,) bool from :func:`drivable_keep_mask`
+    :return: (traj (T, 6), accel (T, 2), vis (T,)) or None if every frame
+        is filtered/unobserved (the reference drops such agents, ``:531``)
+    """
+    if keep is not None:
+        x = np.where(keep[:, None], x, np.nan)
+        hh = np.where(keep, hh, np.nan)
+    if np.isnan(x[:, 0]).all():
+        return None
+    return states_from_xyh(x, hh, ts)
+
+
 NUM_IN_TRAIN_VAL_CHALLENGE = 200  # reference nuscenes_dataset.py:34
 
 

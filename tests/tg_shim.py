@@ -108,6 +108,13 @@ def install_nuscenes_stub():
         ("nuscenes.utils.splits", splits_mod),
     ]:
         sys.modules[name] = mod
+    if "pyquaternion" not in sys.modules:
+        try:
+            import pyquaternion  # noqa: F401
+        except ImportError:
+            pq = types.ModuleType("pyquaternion")
+            pq.Quaternion = _Unavailable  # only touched by devkit paths
+            sys.modules["pyquaternion"] = pq
 
 
 def install():
