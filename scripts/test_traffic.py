@@ -170,14 +170,17 @@ def main(argv=None):
                     scene.mask[0],
                 )
             if cfg.test_sample_viz_multi and i < 3:
+                # ALL NS samples overlaid, one color per sample (reference
+                # test_traffic.py:181-193 -> viz_scene_graph)
                 fut_un = np.asarray(state_norm.unnormalize(
-                    samp["future_pred"][0, 0]))
+                    samp["future_pred"][0]))  # (NS, NA, FT, 4)
                 render_scene(
                     os.path.join(cfg.out, "viz", f"sample_{i}.jpg"), store,
                     int(scene.map_idx[0]),
                     np.asarray(state_norm.unnormalize(scene.past_gt[0])),
                     fut_un, np.asarray(att_norm.unnormalize(scene.lw[0])),
-                    scene.mask[0], title=f"sample batch {i}",
+                    scene.mask[0],
+                    title=f"sample batch {i} ({fut_un.shape[0]} samples)",
                 )
 
     Logger.log("==== evaluation results ====")

@@ -125,3 +125,104 @@ def synthetic_lanegraph(extent_m=128.0, spacing_m=32.0, res_m=2.0):
     edges, edgeixes, _ = _build_edges(np.array(xys), out_edges)
     return {"xy": np.array(xys), "in_edges": in_edges,
             "out_edges": out_edges, "edges": edges, "edgeixes": edgeixes}
+
+
+class _GraphBuilder:
+    """Incremental polyline/fork lane-graph builder (test fixtures)."""
+
+    def __init__(self):
+        self.xys = []
+        self.out_edges = []
+        self.in_edges = []
+
+    def add_chain(self, points, from_vertex=None):
+        """Append a polyline; optionally connect its head to an existing
+        vertex (creating a fork/merge). Returns (first_idx, last_idx)."""
+        s = len(self.xys)
+        n = len(points)
+        self.xys.extend([tuple(p) for p in points])
+        self.out_edges.extend([[] for _ in range(n)])
+        self.in_edges.extend([[] for _ in range(n)])
+        for i in range(n - 1):
+            self.out_edges[s + i].append(s + i + 1)
+            self.in_edges[s + i + 1].append(s + i)
+        if from_vertex is not None:
+            self.out_edges[from_vertex].append(s)
+            self.in_edges[s].append(from_vertex)
+        return s, s + n - 1
+
+    def connect(self, a, b):
+        self.out_edges[a].append(b)
+        self.in_edges[b].append(a)
+
+    def build(self):
+        edges, edgeixes, _ = _build_edges(np.array(self.xys), self.out_edges)
+        return {"xy": np.array(self.xys), "in_edges": self.in_edges,
+                "out_edges": self.out_edges, "edges": edges,
+                "edgeixes": edgeixes}
+
+
+def synthetic_lanegraph_forks(res_m=2.0):
+    """Fork-heavy test graph: a trunk that forks twice plus a merge.
+
+    Layout (meters):
+    - trunk along y=50 from x=0 to x=60,
+    - FORK 1 at (60, 50): branch A straight to x=150, branch B curving up
+      to y=90 then straight,
+    - FORK 2 on branch A at (100, 50): A1 continues straight, A2 curves
+      down to y=20,
+    - branch B merges back into A1 at (140, 50).
+
+    Exercises the device planner's branch codes (2 fork levels = the NBR=4
+    (b1, b2) codes) and cluster dedupe on nearby parallel routes.
+    """
+    g = _GraphBuilder()
+    ts = np.arange(0.0, 60.0 + res_m / 2, res_m)
+    _, trunk_end = g.add_chain([(t, 50.0) for t in ts])
+
+    # branch A: straight 60 -> 100
+    ta = np.arange(60.0 + res_m, 100.0 + res_m / 2, res_m)
+    a_start, a_end = g.add_chain([(t, 50.0) for t in ta],
+                                 from_vertex=trunk_end)
+    # fork 2: A1 straight 100 -> 150
+    t1 = np.arange(100.0 + res_m, 150.0 + res_m / 2, res_m)
+    a1_start, _ = g.add_chain([(t, 50.0) for t in t1], from_vertex=a_end)
+    # fork 2: A2 curves down to y=20 (quarter-ish bend then straight)
+    bend = [(100.0 + 10 * np.sin(u), 50.0 - 30 * (1 - np.cos(u)) / 2)
+            for u in np.linspace(0.3, np.pi / 2, 12)]
+    g.add_chain(bend + [(110.0 + t, 20.0) for t in
+                        np.arange(res_m, 40.0, res_m)], from_vertex=a_end)
+
+    # branch B from fork 1: curve up to y=90, run straight, merge into A1
+    curve = [(60.0 + 20 * np.sin(u), 50.0 + 40 * (1 - np.cos(u)))
+             for u in np.linspace(0.25, np.pi / 2, 14)]
+    tb = np.arange(82.0, 130.0, res_m)
+    _, b_end = g.add_chain(curve + [(t, 90.0) for t in tb],
+                           from_vertex=trunk_end)
+    # merge: descend and rejoin A1 at (140, 50)
+    down = [(130.0 + 8 * np.sin(u), 90.0 - 40 * (1 - np.cos(u)))
+            for u in np.linspace(0.3, np.pi / 2, 12)]
+    _, d_end = g.add_chain(down, from_vertex=b_end)
+    # connect merge end to the A1 vertex nearest x=140
+    target = None
+    best = 1e9
+    for i, (x, y) in enumerate(g.xys):
+        d = abs(x - 140.0) + abs(y - 50.0)
+        if i >= a1_start and d < best:
+            best, target = d, i
+    g.connect(d_end, target)
+    return g.build()
+
+
+def synthetic_lanegraph_ring(center=(64.0, 64.0), radius=40.0, res_m=2.0):
+    """Closed circular ring road (roundabout-like loop): constant curvature
+    everywhere, no start/end — the walk wraps around. Exercises the curved
+    route-spline warp and the chain walk on a cyclic graph."""
+    n = int(round(2 * np.pi * radius / res_m))
+    u = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    pts = [(center[0] + radius * np.cos(a), center[1] + radius * np.sin(a))
+           for a in u]
+    g = _GraphBuilder()
+    s, e = g.add_chain(pts)
+    g.connect(e, s)  # close the loop
+    return g.build()

@@ -47,7 +47,11 @@ def render_scene(out_path, map_store, map_idx, past, future_pred, lw, mask,
     """Render ONE scene to a png.
 
     :param past: (NA, PT, 6) UNNORMALIZED
-    :param future_pred: (NA, FT, 4) UNNORMALIZED or None
+    :param future_pred: UNNORMALIZED future(s) or None — (NA, FT, 4) for a
+        single trajectory set (rainbow time markers), or (NS, NA, FT, 4) to
+        overlay ALL NS samples with one color per sample (reference
+        ``viz_scene_graph`` overlays every sampled future,
+        ``nuscenes_utils.py:477-621`` via ``test_traffic.py:181-193``)
     :param lw: (NA, 2) UNNORMALIZED
     :param mask: (NA,) bool
     """
@@ -70,6 +74,10 @@ def render_scene(out_path, map_store, map_idx, past, future_pred, lw, mask,
                   extent=(px0 * dx[0], px1 * dx[0], py0 * dx[1], py1 * dx[1]))
 
     cmap = plt.get_cmap("rainbow")
+    fp_all = None if future_pred is None else np.asarray(future_pred)
+    multi = fp_all is not None and fp_all.ndim == 4
+    NS = fp_all.shape[0] if multi else 1
+    samp_cmap = plt.get_cmap("turbo")
     for a in range(n):
         color = None
         if car_colors is not None:
@@ -77,11 +85,20 @@ def render_scene(out_path, map_store, map_idx, past, future_pred, lw, mask,
         _draw_car(ax, past[a, -1, :4], np.asarray(lw)[a],
                   color or ("green" if a == center_idx else "cornflowerblue"))
         ax.plot(past[a, :, 0], past[a, :, 1], ".-", color="gray", alpha=0.6)
-        if future_pred is not None:
-            fp = np.asarray(future_pred)[a]
-            for t in range(fp.shape[0]):
-                ax.plot(fp[t, 0], fp[t, 1], ".",
-                        color=cmap(t / max(fp.shape[0] - 1, 1)), markersize=5)
+        if fp_all is not None:
+            if multi:
+                # overlay every sample, one color per sample
+                for s in range(NS):
+                    fp = fp_all[s, a]
+                    ax.plot(fp[:, 0], fp[:, 1], ".-",
+                            color=samp_cmap(s / max(NS - 1, 1)),
+                            markersize=4, linewidth=1.0, alpha=0.6)
+            else:
+                fp = fp_all[a]
+                for t in range(fp.shape[0]):
+                    ax.plot(fp[t, 0], fp[t, 1], ".",
+                            color=cmap(t / max(fp.shape[0] - 1, 1)),
+                            markersize=5)
         if gt_future is not None:
             gf = np.asarray(gt_future)[a]
             ax.plot(gf[:, 0], gf[:, 1], "--", color="k", alpha=0.4)

@@ -12,7 +12,9 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from strive_tpu.maps.lanegraph import synthetic_lanegraph
+from strive_tpu.maps.lanegraph import (synthetic_lanegraph,
+                                       synthetic_lanegraph_forks,
+                                       synthetic_lanegraph_ring)
 from strive_tpu.planners import PLANNER_CONFIGS, PlannerConfig, RulePlanner
 from strive_tpu.planners.tpu_planner import (StaticPlanCfg, TpuRulePlanner,
                                              build_lane_tables)
@@ -101,6 +103,144 @@ def test_off_lane_constant_heading(lg):
     assert pos_err.max() < 0.5, f"max position divergence {pos_err.max():.3f}"
 
 
+def _obs_along(path_fn, speeds, T=12, dt=0.5):
+    """Observation futures for agents moving along parametric paths.
+
+    :param path_fn: list of fn(t_seconds) -> (x, y, hx, hy)
+    """
+    NA = len(path_fn)
+    obs_t = np.arange(1, T + 1) * dt
+    obs = np.full((NA, T, 4), np.nan, np.float32)
+    init = np.zeros((NA, 6), np.float32)
+    for a, f in enumerate(path_fn):
+        x0, y0, hx0, hy0 = f(0.0)
+        init[a] = [x0, y0, hx0, hy0, speeds[a], 0.0]
+        for i, t in enumerate(obs_t):
+            obs[a, i] = f(t)
+    lw = np.full((NA, 2), [4.5, 2.0], np.float32)
+    return init, lw, obs, obs_t
+
+
+def _parity(lg, init, lw, obs, obs_t, tol_pos=0.5, tol_deg=5.0, cfg=None):
+    cfg = cfg or PlannerConfig(**PLANNER_CONFIGS["default"])
+    host = _host_rollout(lg, cfg, init, lw, obs, obs_t, obs_t)
+    dev = _tpu_rollout(lg, cfg, init, lw, obs, obs_t, obs_t)
+    assert np.isfinite(dev).all()
+    pos_err = np.linalg.norm(host[:, :2] - dev[:, :2], axis=-1)
+    assert pos_err.max() < tol_pos, \
+        f"max position divergence {pos_err.max():.3f}"
+    cosang = np.sum(host[:, 2:4] * dev[:, 2:4], axis=-1)
+    assert np.degrees(np.arccos(np.clip(cosang, -1, 1))).max() < tol_deg
+    return host, dev, pos_err
+
+
+@pytest.fixture(scope="module")
+def lg_forks():
+    return synthetic_lanegraph_forks()
+
+
+@pytest.fixture(scope="module")
+def lg_ring():
+    return synthetic_lanegraph_ring()
+
+
+def test_parity_fork_trunk(lg_forks):
+    """Ego approaches a two-level fork on the trunk; the branch-coded walk
+    must reproduce the host BFS's main chain (reference
+    ``hardcode_goalcond_nusc.py:379-414``)."""
+    f = [lambda t: (20.0 + 6.0 * t, 50.0, 1.0, 0.0)]
+    init, lw, obs, obs_t = _obs_along(f, [6.0])
+    _parity(lg_forks, init, lw, obs, obs_t)
+
+
+def test_parity_fork_oncoming_branch(lg_forks):
+    """An agent on branch B (the NON-main fork branch, heading into the
+    curve) interacts with the ego near the fork — the prediction fan has
+    to include the branched chains (branch codes / MC slots), which a
+    degraded NBR=1 bound would miss."""
+    ego = lambda t: (30.0 + 7.0 * t, 50.0, 1.0, 0.0)
+    # agent on the B curve, moving along it toward the merge
+    curve_x = lambda t: 60.0 + 20 * np.sin(0.25 + 0.12 * t)
+    curve_y = lambda t: 50.0 + 40 * (1 - np.cos(0.25 + 0.12 * t))
+
+    def b_agent(t):
+        dx = curve_x(t + 0.3) - curve_x(t)
+        dy = curve_y(t + 0.3) - curve_y(t)
+        n = np.hypot(dx, dy) + 1e-9
+        return (curve_x(t), curve_y(t), dx / n, dy / n)
+
+    init, lw, obs, obs_t = _obs_along([ego, b_agent], [7.0, 3.0])
+    _parity(lg_forks, init, lw, obs, obs_t)
+
+
+def test_parity_ring(lg_ring):
+    """Curved route spline on a closed loop: ego drives the roundabout."""
+    R, cx, cy = 40.0, 64.0, 64.0
+    w = 5.0 / R  # 5 m/s angular rate
+
+    def ego(t):
+        a = 0.1 + w * t
+        return (cx + R * np.cos(a), cy + R * np.sin(a),
+                -np.sin(a), np.cos(a))
+
+    init, lw, obs, obs_t = _obs_along([ego], [5.0])
+    # curvature makes the constant-ds warp grids differ slightly more
+    # than on straight lanes; 1 m over a 54 m rollout is decision parity
+    _parity(lg_ring, init, lw, obs, obs_t, tol_pos=1.0, tol_deg=8.0)
+
+
+def test_parity_interaction_brakes(lg_forks):
+    """A slow leader on the ego's own lane forces profile selection to
+    actually brake; host and device must pick equivalent profiles
+    (reference ``:768-801``) AND the ego must really slow down."""
+    ego = lambda t: (30.0 + 7.0 * t, 50.0, 1.0, 0.0)
+    leader = lambda t: (48.0 + 1.0 * t, 50.0, 1.0, 0.0)
+    init, lw, obs, obs_t = _obs_along([ego, leader], [7.0, 1.0])
+    host, dev, _ = _parity(lg_forks, init, lw, obs, obs_t)
+    # braking happened: distance covered far below the free-flow 7 m/s
+    assert dev[-1, 0] - init[0, 0] < 6.0 * 0.5 * len(obs_t)
+    # and the ego does not rear-end the leader in the device rollout
+    lead_x = 48.0 + 1.0 * obs_t
+    assert np.all(lead_x - dev[:, 0] > 2.0)
+
+
+def test_parity_randomized_sweep(lg, lg_forks):
+    """Randomized host-vs-device divergence sweep over both graphs
+    (VERDICT r2 item 3): reports the max/median trajectory divergence and
+    fails if the bounded approximations (MC/NBR/dedupe/static warp grid)
+    degrade decision parity."""
+    rng = np.random.default_rng(7)
+    errs = []
+    for graph, lanes in [
+        (lg, [((40.0, 128.0), (1.0, 0.0)), ((128.0, 40.0), (0.0, 1.0)),
+              ((60.0, 64.0), (1.0, 0.0))]),
+        (lg_forks, [((10.0, 50.0), (1.0, 0.0)), ((70.0, 50.0), (1.0, 0.0)),
+                    ((110.0, 50.0), (1.0, 0.0))]),
+    ]:
+        for trial in range(4):
+            NA = int(rng.integers(1, 4))
+            fns, speeds = [], []
+            for a in range(NA):
+                (x0, y0), (hx, hy) = lanes[int(rng.integers(len(lanes)))]
+                x0 = x0 + rng.uniform(-5, 15)
+                y0 = y0 + rng.uniform(-1.0, 1.0)
+                s = rng.uniform(2.0, 8.0)
+                fns.append(lambda t, x0=x0, y0=y0, hx=hx, hy=hy, s=s:
+                           (x0 + hx * s * t, y0 + hy * s * t, hx, hy))
+                speeds.append(s)
+            init, lw, obs, obs_t = _obs_along(fns, speeds)
+            cfg = PlannerConfig(**PLANNER_CONFIGS["default"])
+            host = _host_rollout(graph, cfg, init, lw, obs, obs_t, obs_t)
+            dev = _tpu_rollout(graph, cfg, init, lw, obs, obs_t, obs_t)
+            errs.append(
+                np.linalg.norm(host[:, :2] - dev[:, :2], axis=-1))
+    errs = np.concatenate(errs)
+    print(f"divergence sweep: max={errs.max():.3f} m, "
+          f"median={np.median(errs):.3f} m, p90={np.quantile(errs, .9):.3f}")
+    assert np.median(errs) < 0.25
+    assert errs.max() < 1.0
+
+
 def test_fused_bridge_contract(lg):
     """make_fused_fn matches make_planner_host_fn's input/output contract
     and runs under jit (pure jax)."""
@@ -115,10 +255,13 @@ def test_fused_bridge_contract(lg):
     tp.reset(init[None], lw[None], np.ones((1, 3), bool),
              np.zeros(1, np.int64))
     fn = tp.make_fused_fn(state_norm, 0.5, 6)
+    # the bridge fn is memoized per (normalizer, dt, future_len) so the
+    # adversarial runner cache stays hot across batches
+    assert tp.make_fused_fn(state_norm, 0.5, 6) is fn
     pred_un = np.repeat(obs[None, :, :6][:, :, None], 1, axis=2)
     pred_un = obs[None, :, :6, :]  # (1, NA, 6, 4) unnormalized
     pred_norm = jnp.asarray(np.asarray(
         state_norm.normalize(pred_un.astype(np.float32))))
-    out = jax.jit(fn)(pred_norm)
+    out = jax.jit(fn)(pred_norm, tp.state)
     assert out.shape == (1, 6, 4)
     assert np.isfinite(np.asarray(out)).all()
