@@ -91,7 +91,12 @@ class MapEncoder(nn.Module):
     strides: Sequence[int] = (2, 2, 2, 2, 2, 2)
     filters: Sequence[int] = (16, 32, 64, 64, 128, 128)
     dtype: Any = None  # compute dtype (bf16 for speed; params stay f32)
-    use_s2d: bool = True  # space-to-depth stride-2 convs (exact rewrite)
+    # space-to-depth stride-2 convs (exact rewrite; see module docstring).
+    # MEASURED SLOWER on this toolchain (decode+grad 65.6 vs 59.4 ms at 32
+    # agents / 256px — XLA's own conv lowering already handles the small-C
+    # first layer better than the s2d rewrite's pad+reshape traffic), so
+    # OFF by default; kept as an option for future toolchains.
+    use_s2d: bool = False
 
     @nn.compact
     def __call__(self, crop, input_layout="nchw"):

@@ -723,9 +723,14 @@ def plan_rollout(tab: LaneTables, cfg: StaticPlanCfg, init_state, lw,
                                      <= horizon[None, :] + 1e-6)
     alive_all = jnp.concatenate([alive0[None], alive_later], axis=0)
 
-    ocirc_all, ovalid_all = jax.vmap(
-        lambda st, al: _others_step_data(st, al, lw, tab, cfg))(
-        state_all, alive_all)
+    # chunked batching over the step axis: full vmap materializes the
+    # spline-interp intermediates for every (step, agent, spline) at once,
+    # which blows HBM inside the fused adversarial loop (the planner runs
+    # every Adam iteration); 8-step chunks keep the op sizes large enough
+    # for the VPU while bounding transients.
+    ocirc_all, ovalid_all = jax.lax.map(
+        lambda sa: _others_step_data(sa[0], sa[1], lw, tab, cfg),
+        (state_all, alive_all), batch_size=8)
 
     def step(ego, inp):
         opos, oc, ov = inp
