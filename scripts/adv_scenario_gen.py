@@ -62,8 +62,18 @@ def parse_cfg(argv=None):
                         choices=["host", "tpu"],
                         help="'host': numpy phase-A planner re-rolled "
                              "between jitted chunks (reference-exact); "
-                             "'tpu': device phase-B planner traced INTO "
-                             "the optimization loop (zero host hops)")
+                             "'tpu': device phase-B planner (fast path: "
+                             "its own compiled program called between "
+                             "chunks; see --closed_loop_mode)")
+    parser.add_argument("--closed_loop_mode", type=str, default="chunked",
+                        choices=["chunked", "fused"],
+                        help="'chunked' (default): planner re-rolls "
+                             "eagerly between jitted chunks every "
+                             "iteration (reference-exact refresh). "
+                             "'fused' (tpu backend only): planner traced "
+                             "INTO one compiled loop — zero host hops, "
+                             "but ~1000x slower planner gathers on this "
+                             "toolchain (PERF.md r3)")
     parser.add_argument("--feasibility_thresh", type=float, default=10.0)
     parser.add_argument("--feasibility_time", type=int, default=4)
     parser.add_argument("--feasibility_vel", type=float, default=0.5)
@@ -371,7 +381,8 @@ def main(argv=None):
             cfg.num_iters, emb, cfg.planner, tgt_prior, prior,
             cfg.feasibility_time, cfg.feasibility_infront_min,
             planner_rollout_fn=planner_fn, ref_compat=cfg.ref_compat,
-            closed_loop_mode=("fused" if cfg.planner_backend == "tpu"
+            closed_loop_mode=(cfg.closed_loop_mode
+                              if cfg.planner_backend == "tpu"
                               else "chunked"),
             planner_state=planner_state,
         )

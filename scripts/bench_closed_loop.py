@@ -68,12 +68,14 @@ def main():
 
     def run_mode(mode):
         pstate = None
-        if mode == "tpu":
+        if mode.startswith("tpu"):
             tp = TpuRulePlanner(lane_graphs, store.map_names, pc)
             tp.reset(init_state, lw_un, mask_np, np.asarray(scene.map_idx))
             pfn = tp.make_fused_fn(state_norm, dt, FT)
             pstate = tp.state
-            clm = "fused"
+            # chunked keeps the device planner as its OWN compiled program
+            # (fast gathers); fused inlines it (scalar gathers, PERF.md r3)
+            clm = "fused" if mode == "tpu-fused" else "chunked"
         else:
             planner = RulePlanner(lane_graphs, store.map_names, pc)
             flat_states, flat_lw, batch_of = [], [], []
@@ -112,8 +114,11 @@ def main():
         return ITERS / med
 
     host = run_mode("host")
-    tpu = run_mode("tpu")
-    print(f"fused speedup: {tpu/host:.1f}x")
+    tpu = run_mode("tpu-chunked")
+    print(f"device-planner speedup vs host: {tpu/host:.1f}x")
+    if os.environ.get("STRIVE_BENCH_FUSED"):
+        fused = run_mode("tpu-fused")
+        print(f"fused vs chunked: {fused/tpu:.2f}x")
 
 
 if __name__ == "__main__":

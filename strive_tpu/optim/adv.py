@@ -22,15 +22,23 @@ mechanisms:
 
 - 'chunked' (default, works on every runtime): the optimization runs as
   jitted K-iteration chunks with the planner trajectory held fixed; the
-  host planner re-rolls between chunks on the CURRENT latents, which for
-  K=1 reproduces the reference's per-iteration ordering exactly.
+  planner re-rolls between chunks on the CURRENT latents, which for K=1
+  reproduces the reference's per-iteration ordering exactly. The planner
+  can be the host numpy phase-A port OR the device phase-B planner called
+  eagerly (two-arg contract) — the device planner keeps its OWN compiled
+  program this way, which on this toolchain is ~1000x faster than inlining
+  it (see below).
 - 'io_callback': the planner call is traced into the compiled loop (one
   host hop per iteration, no python dispatch). Unsupported by some PJRT
   runtimes.
 - 'fused': ``planner_rollout_fn`` is PURE JAX (the phase-B device planner,
   ``planners/tpu_planner.py``) and traces straight into the loop — the
   whole closed-loop optimization compiles to one program with ZERO host
-  hops (the BASELINE.md north star).
+  hops. CAVEAT (measured r3, PERF.md): this toolchain lowers gathers whose
+  operands are not jit ENTRY parameters to a ~0.11 G elem/s scalar path,
+  so the planner's table gathers run ~1000x slower inlined (471 ms) than
+  as their own program (0.4 ms). Until that is rewritten gather-free,
+  'chunked' + device planner is the fast closed loop.
 """
 
 from __future__ import annotations
@@ -265,7 +273,9 @@ def run_adv_gen_optim(model, params, cur_z, lr, loss_weights, scene, map_store,
         while done < num_iters:
             k = min(K, num_iters - done)
             _, cur_pred = fns["decode_full"](v, scene, map_store, embed_info)
-            planner_fut = jnp.asarray(planner_rollout_fn(cur_pred))
+            planner_fut = jnp.asarray(
+                planner_rollout_fn(cur_pred, planner_state) if has_pstate
+                else planner_rollout_fn(cur_pred))
             v, opt_state, ls = fns["chunk"](
                 v, opt_state, k, planner_fut, scene, map_store, embed_info,
                 tgt_prior_distrib, other_prior_distrib, init_other_z,

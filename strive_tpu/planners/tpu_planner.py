@@ -53,14 +53,22 @@ BIG = 1e9
 
 
 class LaneTables(NamedTuple):
-    """Padded lane-graph arrays for one map (host-built, device-resident).
+    """Padded lane-graph arrays (host-built, device-resident).
 
     ``chain0_f``/``chain0_b`` hold the branch-0 walk (always follow
     successor/predecessor 0) precomputed for every edge, plus each walk's
     first fork position — a K-step graph walk then assembles from at most
-    three precomputed segments with pure gathers (no sequential loop)."""
+    three precomputed segments with pure gathers (no sequential loop).
+
+    Multi-map stores CONCATENATE all maps into one edge/vertex axis with a
+    per-edge map id (``emap``): lane matching masks edges of other maps,
+    and every gather reads a SHARED operand that is invariant under the
+    scene vmap — selecting per-map tables with a leading map axis makes
+    the table operands batch-vary, which this toolchain lowers to a
+    ~0.11 G elem/s scalar gather path (~1000x slower, PERF.md r3)."""
 
     edges: jnp.ndarray     # (E, 5) x0, y0, hcos, hsin, len
+    emap: jnp.ndarray      # (E,) map id of each edge (-1 = padding)
     src: jnp.ndarray       # (E,) start vertex
     dst: jnp.ndarray       # (E,) end vertex
     succ: jnp.ndarray      # (E, S) successor edge ids (E = none)
@@ -120,6 +128,7 @@ def build_lane_tables(lg, S=None, K=128) -> LaneTables:
     cb, fb, feb = _host_chain0(E, pred_np, pred_deg, ixes[:, 0], K)
     return LaneTables(
         edges=jnp.asarray(edges),
+        emap=jnp.zeros((E,), jnp.int32),
         src=jnp.asarray(ixes[:, 0], jnp.int32),
         dst=jnp.asarray(ixes[:, 1], jnp.int32),
         succ=jnp.asarray(succ_np, jnp.int32),
@@ -137,40 +146,63 @@ def build_lane_tables(lg, S=None, K=128) -> LaneTables:
 
 
 def stack_lane_tables(tables_list):
-    """Pad per-map tables to common sizes and stack on a leading map axis."""
-    E = max(t.edges.shape[0] for t in tables_list)
-    V = max(t.vxy.shape[0] for t in tables_list)
-    S = max(t.succ.shape[1] for t in tables_list)
-    out = []
-    for t in tables_list:
-        e, v, s = t.edges.shape[0], t.vxy.shape[0], t.succ.shape[1]
-        # padded edges have zero length + far-away position (never match);
-        # padded adjacency points at the one-past-end sentinel (dead end)
-        edges = jnp.full((E, 5), 0.0).at[:, :2].set(BIG).at[:e].set(t.edges)
-        remap = lambda a: jnp.where(a >= e, E, a)  # old sentinel -> new
+    """Concatenate per-map tables into ONE shared edge/vertex axis.
 
-        def padi(a, fill, n):
-            return jnp.full((n,) + a.shape[1:], fill,
-                            a.dtype).at[: a.shape[0]].set(a)
-
-        out.append(LaneTables(
-            edges=edges,
-            src=padi(t.src, 0, E), dst=padi(t.dst, 0, E),
-            succ=padi(remap(jnp.pad(t.succ, ((0, 0), (0, S - s)),
-                                    constant_values=e)), E, E),
-            succ_deg=padi(t.succ_deg, 0, E),
-            pred=padi(remap(jnp.pad(t.pred, ((0, 0), (0, S - s)),
-                                    constant_values=e)), E, E),
-            pred_deg=padi(t.pred_deg, 0, E),
-            vxy=padi(t.vxy, BIG, V),
-            chain0_f=padi(t.chain0_f, -1, E),
-            fork_f=padi(t.fork_f, t.chain0_f.shape[1], E),
-            forke_f=padi(t.forke_f, 0, E),
-            chain0_b=padi(t.chain0_b, -1, E),
-            fork_b=padi(t.fork_b, t.chain0_b.shape[1], E),
-            forke_b=padi(t.forke_b, 0, E),
+    Edge/vertex ids get per-map offsets; ``emap`` records each edge's map
+    so matching can mask other maps (see LaneTables docstring for why
+    concatenation beats a leading map axis on this toolchain). The walk
+    chains stay correct unmodified because adjacency never crosses maps.
+    """
+    K1 = max(t.chain0_f.shape[1] for t in tables_list)
+    assert all(t.chain0_f.shape[1] == K1 for t in tables_list), \
+        "mixed chain walk lengths"
+    E_total = sum(t.edges.shape[0] for t in tables_list)
+    parts = []
+    eo = vo = 0
+    for m, t in enumerate(tables_list):
+        e, v = t.edges.shape[0], t.vxy.shape[0]
+        # local sentinel e -> global sentinel E_total; real ids -> +eo
+        radj = lambda a: jnp.where(a >= e, E_total, a + eo)
+        rvert = lambda a: jnp.where(a < 0, a, a + vo)  # chain -1 stays
+        parts.append(LaneTables(
+            edges=t.edges,
+            emap=jnp.full((e,), m, jnp.int32),
+            src=t.src + vo, dst=t.dst + vo,
+            succ=radj(t.succ).astype(jnp.int32),
+            succ_deg=t.succ_deg,
+            pred=radj(t.pred).astype(jnp.int32),
+            pred_deg=t.pred_deg,
+            vxy=t.vxy,
+            chain0_f=rvert(t.chain0_f).astype(jnp.int32),
+            fork_f=t.fork_f, forke_f=t.forke_f + eo,
+            chain0_b=rvert(t.chain0_b).astype(jnp.int32),
+            fork_b=t.fork_b, forke_b=t.forke_b + eo,
         ))
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *out)
+        eo += e
+        vo += v
+    S = max(p.succ.shape[1] for p in parts)
+
+    def pad_s(a):
+        return jnp.pad(a, ((0, 0), (0, S - a.shape[1])),
+                       constant_values=E_total)
+
+    return LaneTables(
+        edges=jnp.concatenate([p.edges for p in parts]),
+        emap=jnp.concatenate([p.emap for p in parts]),
+        src=jnp.concatenate([p.src for p in parts]),
+        dst=jnp.concatenate([p.dst for p in parts]),
+        succ=jnp.concatenate([pad_s(p.succ) for p in parts]),
+        succ_deg=jnp.concatenate([p.succ_deg for p in parts]),
+        pred=jnp.concatenate([pad_s(p.pred) for p in parts]),
+        pred_deg=jnp.concatenate([p.pred_deg for p in parts]),
+        vxy=jnp.concatenate([p.vxy for p in parts]),
+        chain0_f=jnp.concatenate([p.chain0_f for p in parts]),
+        fork_f=jnp.concatenate([p.fork_f for p in parts]),
+        forke_f=jnp.concatenate([p.forke_f for p in parts]),
+        chain0_b=jnp.concatenate([p.chain0_b for p in parts]),
+        fork_b=jnp.concatenate([p.fork_b for p in parts]),
+        forke_b=jnp.concatenate([p.forke_b for p in parts]),
+    )
 
 
 class StaticPlanCfg(NamedTuple):
@@ -236,9 +268,10 @@ class StaticPlanCfg(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def _match_edges(pose, tab: LaneTables, cfg: StaticPlanCfg):
+def _match_edges(pose, tab: LaneTables, cfg: StaticPlanCfg, mid):
     """(x, y, h) -> per-edge match mask + closest point + distance
-    (reference get_lane_matches :298-321)."""
+    (reference get_lane_matches :298-321). ``mid`` is the scene's map id:
+    edges of other maps in the concatenated tables never match."""
     x, y, h = pose
     e = tab.edges
     cdist = 1.0 - e[:, 2] * jnp.cos(h) - e[:, 3] * jnp.sin(h)
@@ -246,7 +279,8 @@ def _match_edges(pose, tab: LaneTables, cfg: StaticPlanCfg):
     lmag = jnp.clip(diff[:, 0] * e[:, 2] + diff[:, 1] * e[:, 3], 0.0, e[:, 4])
     closest = e[:, :2] + lmag[:, None] * e[:, 2:4]
     dist = jnp.hypot(x - closest[:, 0], y - closest[:, 1])
-    ok = (cdist < cfg.cdistmax) & (dist < cfg.xydistmax) & (e[:, 4] > 0)
+    ok = ((cdist < cfg.cdistmax) & (dist < cfg.xydistmax) & (e[:, 4] > 0)
+          & (tab.emap == mid))
     return ok, closest, dist
 
 
@@ -428,13 +462,13 @@ def _const_heading_spline(pose, cfg: StaticPlanCfg):
     return tg, jnp.concatenate([pts, hh], axis=1)
 
 
-def _agent_splines(pose, tab: LaneTables, cfg: StaticPlanCfg):
+def _agent_splines(pose, tab: LaneTables, cfg: StaticPlanCfg, mid):
     """All route splines for one agent: (MC*NBR, G) knots + validity.
 
     Slot 0 is the reference's ``splines[0]`` (closest cluster, main
     branch) used for the agent's own control (:829-857).
     """
-    ok, closest, dist = _match_edges(pose, tab, cfg)
+    ok, closest, dist = _match_edges(pose, tab, cfg, mid)
     reps, rep_valid = _cluster_reps(ok, closest, dist, cfg)
     codes = jnp.asarray(_BRANCH_CODES[: cfg.NBR])
 
@@ -528,11 +562,11 @@ def _boxes2circles(b):
 # ---------------------------------------------------------------------------
 
 
-def _ego_spline(pose, tab: LaneTables, cfg: StaticPlanCfg):
+def _ego_spline(pose, tab: LaneTables, cfg: StaticPlanCfg, mid):
     """Ego route spline: globally closest match, branch-0 walk — identical
     to slot 0 of :func:`_agent_splines` (reference ``:829-857`` follows
     ``splines[0]``), with the constant-heading fallback."""
-    ok, closest, dist = _match_edges(pose, tab, cfg)
+    ok, closest, dist = _match_edges(pose, tab, cfg, mid)
     d = jnp.where(ok, dist, BIG)
     rep = jnp.argmin(d).astype(jnp.int32)
     has = d[rep] < BIG
@@ -547,7 +581,7 @@ def _ego_spline(pose, tab: LaneTables, cfg: StaticPlanCfg):
     return t2, vals, has
 
 
-def _others_step_data(state, alive, lw, tab, cfg: StaticPlanCfg):
+def _others_step_data(state, alive, lw, tab, cfg: StaticPlanCfg, mid):
     """Ego-INDEPENDENT half of one planner dt-step: every other agent's
     route splines, prediction fan, and collision circles (reference
     ``:694-721``). Other agents move along their recorded observations, so
@@ -562,7 +596,7 @@ def _others_step_data(state, alive, lw, tab, cfg: StaticPlanCfg):
     NA = state.shape[0]
     poses = (state[:, 0], state[:, 1], state[:, 2])
     t2, vals, sp_valid, _ = jax.vmap(
-        lambda x, y, h: _agent_splines((x, y, h), tab, cfg))(*poses)
+        lambda x, y, h: _agent_splines((x, y, h), tab, cfg, mid))(*poses)
     T1 = cfg.nsteps + 1
     sfacs = jnp.asarray(cfg.predsfacs)
     afacs = jnp.asarray(cfg.predafacs)
@@ -594,7 +628,7 @@ def _others_step_data(state, alive, lw, tab, cfg: StaticPlanCfg):
 
 
 def _plan_step_ego(ego, lw0, opos, ocirc, ovalid0, tab,
-                   cfg: StaticPlanCfg):
+                   cfg: StaticPlanCfg, mid):
     """Ego-DEPENDENT half of one planner dt-step: ego spline, candidate
     speed profiles, collision scoring against the precomputed other-agent
     circles, profile pick, and the exact-speed step (reference
@@ -606,7 +640,7 @@ def _plan_step_ego(ego, lw0, opos, ocirc, ovalid0, tab,
     :return: (newx, newy, newh, stgt)
     """
     x0, y0, h0, s0 = ego[0], ego[1], ego[2], ego[3]
-    t2e, valse, has_match = _ego_spline((x0, y0, h0), tab, cfg)
+    t2e, valse, has_match = _ego_spline((x0, y0, h0), tab, cfg, mid)
 
     NA = opos.shape[0]
     CN = ovalid0.shape[0] // NA
@@ -675,7 +709,7 @@ def _plan_step_ego(ego, lw0, opos, ocirc, ovalid0, tab,
 
 
 def plan_rollout(tab: LaneTables, cfg: StaticPlanCfg, init_state, lw,
-                 alive0, other_obs, obs_t, Tsteps: int):
+                 alive0, other_obs, obs_t, Tsteps: int, mid=0):
     """Roll the planner for one scene (reference rollout :178-276).
 
     :param init_state: (NA, 4) x, y, h, s UNNORMALIZED; ego = row 0
@@ -729,13 +763,13 @@ def plan_rollout(tab: LaneTables, cfg: StaticPlanCfg, init_state, lw,
     # every Adam iteration); 8-step chunks keep the op sizes large enough
     # for the VPU while bounding transients.
     ocirc_all, ovalid_all = jax.lax.map(
-        lambda sa: _others_step_data(sa[0], sa[1], lw, tab, cfg),
+        lambda sa: _others_step_data(sa[0], sa[1], lw, tab, cfg, mid),
         (state_all, alive_all), batch_size=8)
 
     def step(ego, inp):
         opos, oc, ov = inp
         px, py, ph, stgt = _plan_step_ego(ego, lw[0], opos, oc, ov, tab,
-                                          cfg)
+                                          cfg, mid)
         new_ego = jnp.stack([px, py, ph, stgt])
         return new_ego, jnp.array([px, py, jnp.cos(ph), jnp.sin(ph)])
 
@@ -781,6 +815,10 @@ class TpuRulePlanner:
             "lw": jnp.asarray(lw),
             "mask": jnp.asarray(mask),
             "map_idx": jnp.asarray(map_idx, jnp.int32),
+            # the CONCATENATED multi-map tables ride along as arguments so
+            # compiled loops see them as entry parameters (fast gathers),
+            # and the same object every reset keeps runner caches hot
+            "tables": self.tables,
         }
 
     def rollout_batch(self, other_obs, obs_t, planner_t):
@@ -789,8 +827,8 @@ class TpuRulePlanner:
         :return: (B, TQ, 4) ego trajectories"""
         assert self.state is not None, "call reset() first"
         return _rollout_batch_jit(
-            self.tables, self.cfg, self.state["init"], self.state["lw"],
-            self.state["mask"], self.state["map_idx"],
+            self.state["tables"], self.cfg, self.state["init"],
+            self.state["lw"], self.state["mask"], self.state["map_idx"],
             jnp.asarray(other_obs), jnp.asarray(obs_t),
             jnp.asarray(planner_t), float(np.asarray(planner_t)[-1]))
 
@@ -813,15 +851,16 @@ class TpuRulePlanner:
         sstd = jnp.asarray(np.asarray(state_norm.std)[:4])
         plan_t = jnp.linspace(dt, dt * future_len, future_len)
         t_end = float(dt * future_len)
-        tables, cfg = self.tables, self.cfg
+        cfg = self.cfg
 
         def fn(future_pred_norm, pstate):
             fp = future_pred_norm * sstd + smean
             # mask the ego row out of the observations
             fp = fp.at[:, 0].set(jnp.nan)
             out = _rollout_batch_jit(
-                tables, cfg, pstate["init"], pstate["lw"], pstate["mask"],
-                pstate["map_idx"], fp, plan_t, plan_t, t_end)
+                pstate["tables"], cfg, pstate["init"], pstate["lw"],
+                pstate["mask"], pstate["map_idx"], fp, plan_t, plan_t,
+                t_end)
             return (out - smean) / sstd
 
         self._fused_fns[key] = fn
@@ -829,8 +868,9 @@ class TpuRulePlanner:
 
 
 def _rollout_scene(tab, cfg, init, lw, mask, other_obs, obs_t, planner_t,
-                   Tsteps):
-    out = plan_rollout(tab, cfg, init, lw, mask, other_obs, obs_t, Tsteps)
+                   Tsteps, mid):
+    out = plan_rollout(tab, cfg, init, lw, mask, other_obs, obs_t, Tsteps,
+                       mid=mid)
     out_t = jnp.linspace(cfg.dt, cfg.dt * Tsteps, Tsteps + 1)
     return _interp_cols(planner_t, out_t, out)
 
@@ -838,11 +878,11 @@ def _rollout_scene(tab, cfg, init, lw, mask, other_obs, obs_t, planner_t,
 @partial(jax.jit, static_argnums=(1, 9))
 def _rollout_batch_jit(tables, cfg, init, lw, mask, map_idx, other_obs,
                        obs_t, planner_t, t_end):
+    """:param tables: CONCATENATED multi-map LaneTables, shared across the
+    scene vmap (invariant gather operands — the fast path); per-scene map
+    selection happens via the emap mask inside _match_edges."""
     Tsteps = int(round(t_end / cfg.dt))
-
-    def per_scene(b):
-        tab = jax.tree_util.tree_map(lambda x: x[map_idx[b]], tables)
-        return _rollout_scene(tab, cfg, init[b], lw[b], mask[b],
-                              other_obs[b], obs_t, planner_t, Tsteps)
-
-    return jax.vmap(per_scene)(jnp.arange(init.shape[0]))
+    return jax.vmap(
+        lambda i, l, m, o, mi: _rollout_scene(tables, cfg, i, l, m, o,
+                                              obs_t, planner_t, Tsteps, mi)
+    )(init, lw, mask, other_obs, map_idx)
