@@ -280,9 +280,13 @@ def run_adv_gen_optim(model, params, cur_z, lr, loss_weights, scene, map_store,
                 v, opt_state, k, planner_fut, scene, map_store, embed_info,
                 tgt_prior_distrib, other_prior_distrib, init_other_z,
                 atk_mask)
-            losses.append(np.asarray(ls))
+            # keep ls ON DEVICE: a per-iteration np.asarray here is a D2H
+            # sync that both drains the dispatch pipeline and pays this
+            # runtime's ~30 ms post-D2H sync latency every iteration
+            # (PERF.md r3) — fetch once after the loop instead.
+            losses.append(ls)
             done += k
-        losses = jnp.asarray(np.concatenate(losses))
+        losses = jnp.concatenate(losses)
         z_final, final_pred = fns["decode_full"](v, scene, map_store,
                                                  embed_info)
 

@@ -853,7 +853,11 @@ class TpuRulePlanner:
         t_end = float(dt * future_len)
         cfg = self.cfg
 
+        @jax.jit
         def fn(future_pred_norm, pstate):
+            # jitted so the chunked closed loop dispatches ONE program per
+            # planner call instead of eager per-op dispatches (inlined
+            # as-is when traced into the fused loop)
             fp = future_pred_norm * sstd + smean
             # mask the ego row out of the observations
             fp = fp.at[:, 0].set(jnp.nan)
