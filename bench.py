@@ -75,8 +75,12 @@ def main():
             model, params, z0, 0.05, weights, scene, store, iters, emb,
             "ego", (prior[0][:, 0], prior[1][:, 0]), prior, 2, None,
         )
+        # On this runtime block_until_ready returns BEFORE remote execution
+        # finishes (probed: 100 queued planner calls "blocked" in 3 ms, then
+        # the first device->host fetch waited 235 s for the backlog). A real
+        # D2H of the result is the only honest fence, so fetch a leaf.
         jax.tree_util.tree_map(
-            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
+            lambda x: np.asarray(x) if hasattr(x, "block_until_ready")
             else x, out[:2])
         return out
 

@@ -381,13 +381,26 @@ def _interp_cols(tq, t, vals):
 
     Interval lookup by dense compare-sum: jnp.searchsorted's default
     lowering is a sequential scan on TPU, which dominated the planner's
-    runtime; a (Q, P) compare matrix is pure VPU work."""
+    runtime; a (Q, P) compare matrix is pure VPU work. The knot reads are
+    one-hot MXU matmuls rather than ``t[i]``/``vals[i]`` gathers: XLA's
+    TPU gather lowering made those reads ~94% of the whole planner
+    program (179 ms vs 10 ms for the matmul form at the production spline
+    count, PERF.md r3). ``HIGHEST`` precision keeps it bit-exact (f32
+    passthrough of one-hot rows); this is plain XLA, so the Mosaic
+    highest-precision crash (CLAUDE.md) does not apply."""
+    P = t.shape[0]
     i = jnp.sum(t[None, :] <= tq[:, None], axis=1) - 1
-    i = jnp.clip(i, 0, t.shape[0] - 2)
-    t0, t1 = t[i], t[i + 1]
+    i = jnp.clip(i, 0, P - 2)
+    cols = jnp.arange(P)[None, :]
+    oh0 = (i[:, None] == cols).astype(vals.dtype)
+    oh1 = (i[:, None] + 1 == cols).astype(vals.dtype)
+    tv = jnp.concatenate([t[:, None], vals], axis=1)        # (P, 1 + C)
+    a = jnp.dot(oh0, tv, precision=jax.lax.Precision.HIGHEST)
+    b = jnp.dot(oh1, tv, precision=jax.lax.Precision.HIGHEST)
+    t0, t1 = a[:, 0], b[:, 0]
     w = jnp.where(t1 > t0, (tq - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0)
     w = jnp.clip(w, 0.0, 1.0)
-    return vals[i] + w[:, None] * (vals[i + 1] - vals[i])
+    return a[:, 1:] + w[:, None] * (b[:, 1:] - a[:, 1:])
 
 
 def _route_spline(xys, ix0, pose, cfg: StaticPlanCfg):
