@@ -97,7 +97,10 @@ def main():
                 "hardcode", (prior[0][:, 0], prior[1][:, 0]), prior, 2,
                 None, planner_rollout_fn=pfn, closed_loop_mode=clm,
                 planner_state=pstate)
-            jax.block_until_ready(out[1])
+            # block_until_ready returns before remote execution finishes on
+            # this runtime (bench.py / PERF.md r3); a real device->host
+            # fetch is the only honest fence.
+            _ = np.asarray(out[1])
 
         t0 = time.time()
         once()

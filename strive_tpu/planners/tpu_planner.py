@@ -52,6 +52,12 @@ from .hardcode import LANE_DS, LANE_SIG, SBUFFER, PlannerConfig
 BIG = 1e9
 
 
+# Branch codes (b1, b2): successor index taken at the first/second fork of
+# a forward walk (reference expand_verts :379-414; PARITY.md §12 bounds
+# the explored set to these four).
+_BRANCH_CODES = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.int32)
+
+
 class LaneTables(NamedTuple):
     """Padded lane-graph arrays (host-built, device-resident).
 
@@ -82,6 +88,8 @@ class LaneTables(NamedTuple):
     chain0_b: jnp.ndarray  # (E, K+1) vertices of the bwd branch-0 walk
     fork_b: jnp.ndarray    # (E,) first bwd fork step
     forke_b: jnp.ndarray   # (E,) edge id at that fork
+    chainc_f: jnp.ndarray  # (E, 4, K+1) fwd walk per branch code (host-built)
+    distc_f: jnp.ndarray   # (E, 4) walk distinct from branch-0 walk?
 
 
 def _host_chain0(E, table, deg, endv, K):
@@ -102,6 +110,51 @@ def _host_chain0(E, table, deg, endv, K):
         cur = np.where(alive, nxt, cur)
         chain[:, j + 1] = np.where(alive, endv[np.minimum(cur, E - 1)], -1)
     return chain, fork, forke
+
+
+def _host_chainc(chain0, fork, forke, succ, deg, codes):
+    """(E, NC, K+1) branch-coded walks + (E, NC) distinctness (numpy).
+
+    Assembles, for every edge and branch code (b1, b2), the walk that
+    takes successor ``b1`` at the first fork and ``b2`` at the next
+    (reference expand_verts :379-414 explores these chains at runtime) —
+    precomputed HERE so the device walk is one scalar row read instead of
+    fork-table lookups + shifted-row selects (24 ms of the planner
+    program at production shapes, PERF.md r3)."""
+    E, K1 = chain0.shape
+    NONE = K1
+    e1 = np.arange(E)
+
+    def seg_after_fork(e, b):
+        ec = np.minimum(e, E - 1)
+        f = np.where(e < E, fork[ec], NONE)
+        fe = np.minimum(forke[ec], E - 1)
+        d = deg[fe]
+        b_used = np.minimum(b, np.maximum(d - 1, 0))
+        nxt = succ[fe, b_used]
+        return f, np.where(f <= K1 - 1, nxt, E), b_used
+
+    out = np.empty((E, len(codes), K1), chain0.dtype)
+    dist = np.empty((E, len(codes)), bool)
+    i = np.arange(K1)[None, :]
+    for ci, (b1, b2) in enumerate(codes):
+        f1, e2, b1_used = seg_after_fork(e1, b1)
+        f2, e3, b2_used = seg_after_fork(e2, b2)
+        j2 = i - f1[:, None] - 1
+        j3 = j2 - f2[:, None] - 1
+        v = chain0[e1]
+        use2 = (j2 >= 0) & (e2 < E)[:, None]
+        c2 = chain0[np.minimum(e2, E - 1)]
+        v = np.where(use2, np.take_along_axis(
+            c2, np.clip(j2, 0, K1 - 1), axis=1), v)
+        use3 = (j3 >= 0) & (e3 < E)[:, None] & use2
+        c3 = chain0[np.minimum(e3, E - 1)]
+        v = np.where(use3, np.take_along_axis(
+            c3, np.clip(j3, 0, K1 - 1), axis=1), v)
+        out[:, ci] = v
+        dist[:, ci] = (((b1_used > 0) & (f1 <= K1 - 1))
+                       | ((b2_used > 0) & (e2 < E) & (f2 <= K1 - 1)))
+    return out, dist
 
 
 def build_lane_tables(lg, S=None, K=128) -> LaneTables:
@@ -126,6 +179,7 @@ def build_lane_tables(lg, S=None, K=128) -> LaneTables:
     pred_deg = np.asarray([min(len(p), S) for p in pred], np.int64)
     cf, ff, fef = _host_chain0(E, succ_np, succ_deg, ixes[:, 1], K)
     cb, fb, feb = _host_chain0(E, pred_np, pred_deg, ixes[:, 0], K)
+    ccf, dcf = _host_chainc(cf, ff, fef, succ_np, succ_deg, _BRANCH_CODES)
     return LaneTables(
         edges=jnp.asarray(edges),
         emap=jnp.zeros((E,), jnp.int32),
@@ -142,6 +196,8 @@ def build_lane_tables(lg, S=None, K=128) -> LaneTables:
         chain0_b=jnp.asarray(cb, jnp.int32),
         fork_b=jnp.asarray(fb, jnp.int32),
         forke_b=jnp.asarray(feb, jnp.int32),
+        chainc_f=jnp.asarray(ccf, jnp.int32),
+        distc_f=jnp.asarray(dcf),
     )
 
 
@@ -177,6 +233,8 @@ def stack_lane_tables(tables_list):
             fork_f=t.fork_f, forke_f=t.forke_f + eo,
             chain0_b=rvert(t.chain0_b).astype(jnp.int32),
             fork_b=t.fork_b, forke_b=t.forke_b + eo,
+            chainc_f=rvert(t.chainc_f).astype(jnp.int32),
+            distc_f=t.distc_f,
         ))
         eo += e
         vo += v
@@ -202,6 +260,8 @@ def stack_lane_tables(tables_list):
         chain0_b=jnp.concatenate([p.chain0_b for p in parts]),
         fork_b=jnp.concatenate([p.fork_b for p in parts]),
         forke_b=jnp.concatenate([p.forke_b for p in parts]),
+        chainc_f=jnp.concatenate([p.chainc_f for p in parts]),
+        distc_f=jnp.concatenate([p.distc_f for p in parts]),
     )
 
 
@@ -303,64 +363,24 @@ def _cluster_reps(ok, closest, dist, cfg: StaticPlanCfg):
     return reps, rep_valid  # (MC,), (MC,)
 
 
-_BRANCH_CODES = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.int32)
+# (moved above LaneTables: _BRANCH_CODES is used by build_lane_tables)
 
 
-def _walk(tab: LaneTables, edge0, code, forward, K):
-    """Greedy edge walk -> vertex polyline (K+1, 2) + distinctness.
+def _extend_xy(tab: LaneTables, edge0, forward, v):
+    """Vertex-id walk -> (K+1, 2) polyline, extrapolating past dead ends.
 
-    Branch code (b1, b2): take successor b1 at the first fork, b2 at the
-    next one, 0 after (reference expand_verts :379-414 explores all
-    chains; the first chain is this walk with code (0, 0)). Assembled
-    from three precomputed branch-0 chain segments with pure gathers — no
-    sequential graph walk at runtime.
+    Pads dead ends by extrapolating the last valid direction (reference
+    _extend :416-431 adds one far point; linear interp is equivalent).
+    A walk can have a SINGLE valid vertex (the matched edge dead-ends
+    immediately); its direction is then the edge's own heading — deriving
+    it from xy[last-1] would read a clipped garbage gather and reverse
+    the spline (r3 randomized-sweep finding).
     """
     E = tab.edges.shape[0]
-    chain0 = tab.chain0_f if forward else tab.chain0_b
-    fork = tab.fork_f if forward else tab.fork_b
-    forke = tab.forke_f if forward else tab.forke_b
-    table = tab.succ if forward else tab.pred
-    deg = tab.succ_deg if forward else tab.pred_deg
-    K1 = chain0.shape[1]  # K + 1
-    NONE = jnp.int32(K1)
-
-    def seg_after_fork(e, b):
-        """Edge taken when branching with index b at e's first fork."""
-        ec = jnp.minimum(e, E - 1)
-        f = jnp.where(e < E, fork[ec], NONE)
-        fe = jnp.minimum(forke[ec], E - 1)
-        d = deg[fe]
-        b_used = jnp.minimum(b, jnp.maximum(d - 1, 0))
-        nxt = table[fe, b_used]
-        return f, jnp.where(f <= K1 - 1, nxt, E), b_used
-
-    e1 = jnp.minimum(edge0, E - 1)
-    f1, e2, b1_used = seg_after_fork(edge0, code[0])
-    f2, e3, b2_used = seg_after_fork(e2, code[1])
-
+    K1 = v.shape[0]
     i = jnp.arange(K1)
-    c1 = chain0[e1]
-    c2 = chain0[jnp.minimum(e2, E - 1)]
-    c3 = chain0[jnp.minimum(e3, E - 1)]
-    # segment boundaries in the assembled chain (vertex f of seg 1 is the
-    # fork vertex; branching replaces everything after it)
-    j2 = i - f1 - 1          # index into c2 once past the first fork
-    j3 = j2 - f2 - 1         # index into c3 once past the second fork
-    v = c1[jnp.clip(i, 0, K1 - 1)]
-    use2 = (j2 >= 0) & (e2 < E)
-    v = jnp.where(use2, c2[jnp.clip(j2, 0, K1 - 1)], v)
-    use3 = (j3 >= 0) & (e3 < E) & use2
-    v = jnp.where(use3, c3[jnp.clip(j3, 0, K1 - 1)], v)
-
-    distinct = ((b1_used > 0) & (f1 <= K1 - 1)) |                ((b2_used > 0) & (e2 < E) & (f2 <= K1 - 1))
     valid = v >= 0
     xy = tab.vxy[jnp.clip(v, 0, tab.vxy.shape[0] - 1)]
-    # pad dead ends by extrapolating the last valid direction (reference
-    # _extend :416-431 adds one far point; linear interp is equivalent).
-    # A walk can have a SINGLE valid vertex (the matched edge dead-ends
-    # immediately); its direction is then the edge's own heading — deriving
-    # it from xy[last-1] would read a clipped garbage gather and reverse
-    # the spline (r3 randomized-sweep finding).
     last = jnp.max(jnp.where(valid, i, 0))
     p_last = xy[last]
     d_seg = xy[last] - xy[jnp.maximum(last - 1, 0)]
@@ -371,9 +391,34 @@ def _walk(tab: LaneTables, edge0, code, forward, K):
                        d_seg / jnp.maximum(seg_norm, 1e-6), edge_dir)
     steps = (i - last).astype(jnp.float32)
     extrap = p_last[None] + jnp.maximum(steps, 1.0)[:, None] * d_last[None]
-    xy = jnp.where(valid[:, None], xy, extrap)
-    is_zero_code = (code[0] == 0) & (code[1] == 0)
-    return xy, distinct | is_zero_code
+    return jnp.where(valid[:, None], xy, extrap)
+
+
+def _walk_coded(tab: LaneTables, edge0, ci):
+    """Forward edge walk for branch-code index ``ci``: polyline + distinct.
+
+    The fork-branch chain assembly (reference expand_verts :379-414) is
+    precomputed per (edge, code) on the host (:func:`_host_chainc`), so
+    the runtime walk is ONE scalar row read — the fork-table lookups and
+    shifted-row selects it replaces cost 24 ms of the planner program at
+    production shapes (PERF.md r3). An out-of-range edge (padding rep)
+    reads the branch-0 row, whose chainc row equals chain0_f by
+    construction, reproducing the old in-line walk bit-for-bit.
+    """
+    E = tab.edges.shape[0]
+    e1 = jnp.minimum(edge0, E - 1)
+    in_range = edge0 < E
+    ci_eff = jnp.where(in_range, ci, 0)
+    v = tab.chainc_f[e1, ci_eff]
+    distinct = (in_range & tab.distc_f[e1, ci]) | (ci == 0)
+    return _extend_xy(tab, edge0, True, v), distinct
+
+
+def _walk0(tab: LaneTables, edge0, forward):
+    """Branch-0 (code (0, 0)) walk: a direct chain0 row read."""
+    chain0 = tab.chain0_f if forward else tab.chain0_b
+    v = chain0[jnp.minimum(edge0, tab.edges.shape[0] - 1)]
+    return _extend_xy(tab, edge0, forward, v)
 
 
 def _interp_cols(tq, t, vals):
@@ -483,17 +528,17 @@ def _agent_splines(pose, tab: LaneTables, cfg: StaticPlanCfg, mid):
     """
     ok, closest, dist = _match_edges(pose, tab, cfg, mid)
     reps, rep_valid = _cluster_reps(ok, closest, dist, cfg)
-    codes = jnp.asarray(_BRANCH_CODES[: cfg.NBR])
 
-    def one(rep, code):
-        fwd, fw_distinct = _walk(tab, rep, code, True, cfg.KWALK)
-        bwd, _ = _walk(tab, rep, jnp.zeros(2, jnp.int32), False, cfg.KWALK)
+    def one(rep, ci):
+        fwd, fw_distinct = _walk_coded(tab, rep, ci)
+        bwd = _walk0(tab, rep, False)
         xys = jnp.concatenate([bwd[::-1], fwd], axis=0)
         t2, vals = _route_spline(xys, cfg.KWALK, pose, cfg)
         return t2, vals, fw_distinct
 
     t2, vals, distinct = jax.vmap(
-        lambda rep: jax.vmap(lambda c: one(rep, c))(codes))(reps)
+        lambda rep: jax.vmap(lambda ci: one(rep, ci))(
+            jnp.arange(cfg.NBR)))(reps)
     t2 = t2.reshape(cfg.MC * cfg.NBR, -1)
     vals = vals.reshape(cfg.MC * cfg.NBR, -1, 4)
     valid = (rep_valid[:, None] & distinct.reshape(cfg.MC, cfg.NBR)
@@ -583,9 +628,8 @@ def _ego_spline(pose, tab: LaneTables, cfg: StaticPlanCfg, mid):
     d = jnp.where(ok, dist, BIG)
     rep = jnp.argmin(d).astype(jnp.int32)
     has = d[rep] < BIG
-    zero = jnp.zeros(2, jnp.int32)
-    fwd, _ = _walk(tab, rep, zero, True, cfg.KWALK)
-    bwd, _ = _walk(tab, rep, zero, False, cfg.KWALK)
+    fwd = _walk0(tab, rep, True)
+    bwd = _walk0(tab, rep, False)
     xys = jnp.concatenate([bwd[::-1], fwd], axis=0)
     t2, vals = _route_spline(xys, cfg.KWALK, pose, cfg)
     tc, vc = _const_heading_spline(pose, cfg)
