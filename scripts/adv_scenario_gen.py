@@ -69,11 +69,15 @@ def parse_cfg(argv=None):
                         choices=["chunked", "fused"],
                         help="'chunked' (default): planner re-rolls "
                              "eagerly between jitted chunks every "
-                             "iteration (reference-exact refresh). "
-                             "'fused' (tpu backend only): planner traced "
-                             "INTO one compiled loop — zero host hops, "
-                             "but ~1000x slower planner gathers on this "
-                             "toolchain (PERF.md r3)")
+                             "--planner_refresh_every iterations "
+                             "(reference-exact at 1). 'fused' (tpu "
+                             "backend only): planner traced INTO one "
+                             "compiled loop — zero host hops, the "
+                             "fastest closed loop (PERF.md r3)")
+    parser.add_argument("--planner_refresh_every", type=int, default=1,
+                        help="re-roll the closed-loop planner every k-th "
+                             "Adam iteration (1 = reference-exact; the "
+                             "perf/quality curve is measured in PERF.md)")
     parser.add_argument("--feasibility_thresh", type=float, default=10.0)
     parser.add_argument("--feasibility_time", type=int, default=4)
     parser.add_argument("--feasibility_vel", type=float, default=0.5)
@@ -385,6 +389,7 @@ def main(argv=None):
                               if cfg.planner_backend == "tpu"
                               else "chunked"),
             planner_state=planner_state,
+            planner_refresh_every=cfg.planner_refresh_every,
         )
         min_agt = np.asarray(min_agt)
         min_t = np.asarray(min_t)

@@ -96,7 +96,9 @@ def main():
                 model, params, z0, 0.05, weights, scene, store, ITERS, emb,
                 "hardcode", (prior[0][:, 0], prior[1][:, 0]), prior, 2,
                 None, planner_rollout_fn=pfn, closed_loop_mode=clm,
-                planner_state=pstate)
+                planner_state=pstate,
+                planner_refresh_every=int(
+                    os.environ.get("STRIVE_BENCH_REFRESH", "1")))
             # block_until_ready returns before remote execution finishes on
             # this runtime (bench.py / PERF.md r3); a real device->host
             # fetch is the only honest fence.
@@ -116,6 +118,13 @@ def main():
               f"{compile_s:.1f}s)")
         return ITERS / med
 
+    modes_env = os.environ.get("STRIVE_BENCH_MODES")
+    if modes_env:
+        # e.g. STRIVE_BENCH_MODES=fused or host,tpu-chunked,tpu-fused
+        for m in modes_env.split(","):
+            m = m.strip()
+            run_mode("tpu-fused" if m == "fused" else m)
+        return
     host = run_mode("host")
     tpu = run_mode("tpu-chunked")
     print(f"device-planner speedup vs host: {tpu/host:.1f}x")

@@ -50,7 +50,8 @@ import optax
 
 from ..losses.adv import adv_gen_loss, tgt_matching_loss
 from ..losses.metrics import check_single_veh_coll
-from .loop import cached_runner, run_adam_loop_vg
+from .loop import (cached_runner, run_adam_loop_vg,
+                   run_adam_loop_vg_refresh)
 
 
 def _combine_z(tgt_z, other_z):
@@ -195,11 +196,28 @@ def run_adv_gen_optim(model, params, cur_z, lr, loss_weights, scene, map_store,
         @jax.jit
         def run_full(v0, scene, map_store, emb, tgt_prior, other_prior,
                      init_z, atk_mask, planner_fut, ext_future, pstate):
-            vf, losses = run_adam_loop_vg(
-                lambda v: _vg(v, planner_fut, scene, map_store, emb,
-                              tgt_prior, other_prior, init_z, atk_mask,
-                              ext_future, pstate),
-                v0, lr, num_iters)
+            k = int(statics[10])  # planner_refresh_every
+            if (closed_loop_mode == "fused" and not open_loop and k > 1):
+                # re-roll the planner every k-th Adam iteration inside the
+                # SAME compiled program (one extra decode per super-step;
+                # quality/perf trade measured in PERF.md r3)
+                def refresh(v):
+                    z = _combine_z(v["tgt"], v["other"])
+                    pred = _dec_fn(z, scene, map_store, emb, ext_future)
+                    return _call_planner(jax.lax.stop_gradient(pred),
+                                         pstate)
+
+                vf, losses = run_adam_loop_vg_refresh(
+                    lambda v, fut: _vg(v, fut, scene, map_store, emb,
+                                       tgt_prior, other_prior, init_z,
+                                       atk_mask, ext_future, pstate),
+                    refresh, v0, lr, num_iters, k)
+            else:
+                vf, losses = run_adam_loop_vg(
+                    lambda v: _vg(v, planner_fut, scene, map_store, emb,
+                                  tgt_prior, other_prior, init_z, atk_mask,
+                                  ext_future, pstate),
+                    v0, lr, num_iters)
             z_final = _combine_z(vf["tgt"], vf["other"])
             final_pred = _dec_fn(z_final, scene, map_store, emb, None)
             return z_final, final_pred, losses

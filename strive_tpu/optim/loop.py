@@ -83,6 +83,50 @@ def run_adam_loop_vg(value_and_grad_fn, init_vars, lr, num_iters,
     return final_vars, (losses if return_history else losses[-1])
 
 
+def run_adam_loop_vg_refresh(value_and_grad_fn, refresh_fn, init_vars, lr,
+                             num_iters, k):
+    """Adam loop with a side input recomputed every ``k`` iterations.
+
+    Outer scan over super-steps: each calls ``refresh_fn(vars) -> fut``
+    once, then runs ``k`` inner Adam steps with
+    ``value_and_grad_fn(vars, fut)`` holding ``fut`` fixed — the chunked
+    closed loop (planner re-rolled every k-th Adam iteration, reference
+    hardcode refresh in adv_scenario_gen:381-476 is k=1) compiled into
+    ONE program. A ``num_iters % k`` remainder runs as a final short
+    super-step, so the iteration count is exact.
+
+    :return: (final_vars, losses (num_iters,))
+    """
+    tx = optax.adam(lr)
+
+    def inner(carry, _):
+        v, opt_state, fut = carry
+        loss, grads = value_and_grad_fn(v, fut)
+        updates, opt_state = tx.update(grads, opt_state, v)
+        v = optax.apply_updates(v, updates)
+        return (v, opt_state, fut), loss
+
+    def super_step(carry, _, length):
+        v, opt_state = carry
+        fut = refresh_fn(v)
+        (v, opt_state, _), losses = jax.lax.scan(
+            inner, (v, opt_state, fut), None, length=length)
+        return (v, opt_state), losses
+
+    n_super, rem = divmod(int(num_iters), int(k))
+    carry = (init_vars, tx.init(init_vars))
+    losses = []
+    if n_super:
+        carry, ls = jax.lax.scan(
+            lambda c, x: super_step(c, x, k), carry, None, length=n_super)
+        losses.append(ls.reshape(-1))
+    if rem:
+        carry, ls = super_step(carry, None, rem)
+        losses.append(ls)
+    final_vars, _ = carry
+    return final_vars, jnp.concatenate(losses)
+
+
 from collections import OrderedDict
 
 _RUNNER_CACHE = OrderedDict()

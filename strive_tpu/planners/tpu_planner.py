@@ -288,6 +288,7 @@ class StaticPlanCfg(NamedTuple):
     NBR: int = 4           # forward branch codes per cluster
     KWALK: int = 128       # max edges walked per chain direction
     dedupe_r: float = 2.0  # spatial cluster-dedupe radius (m)
+    others_chunk: int = 8  # plan-step chunking of the others phase
 
     @classmethod
     def from_planner_config(cls, cfg: PlannerConfig, **kw):
@@ -817,11 +818,13 @@ def plan_rollout(tab: LaneTables, cfg: StaticPlanCfg, init_state, lw,
     # chunked batching over the step axis: full vmap materializes the
     # spline-interp intermediates for every (step, agent, spline) at once,
     # which blows HBM inside the fused adversarial loop (the planner runs
-    # every Adam iteration); 8-step chunks keep the op sizes large enough
-    # for the VPU while bounding transients.
+    # every Adam iteration); chunks keep the op sizes large enough for the
+    # VPU while bounding transients. cfg.others_chunk is sized by the
+    # caller so B x chunk stays bounded (16-step chunks at B<=4 measured
+    # 10 ms faster than 8-step; no further gain at 31, PERF.md r3).
     ocirc_all, ovalid_all = jax.lax.map(
         lambda sa: _others_step_data(sa[0], sa[1], lw, tab, cfg, mid),
-        (state_all, alive_all), batch_size=8)
+        (state_all, alive_all), batch_size=cfg.others_chunk)
 
     def step(ego, inp):
         opos, oc, ov = inp
@@ -943,6 +946,11 @@ def _rollout_batch_jit(tables, cfg, init, lw, mask, map_idx, other_obs,
     scene vmap (invariant gather operands — the fast path); per-scene map
     selection happens via the emap mask inside _match_edges."""
     Tsteps = int(round(t_end / cfg.dt))
+    # others_chunk stays at its conservative default: 16-step chunks at
+    # B=4 measured 10 ms faster standalone, but the fused adversarial
+    # loop (planner inlined next to the decoder's activations) wedged the
+    # TPU worker on the very next run — the transient bound that matters
+    # is the fused-context one (PERF.md r3).
     return jax.vmap(
         lambda i, l, m, o, mi: _rollout_scene(tables, cfg, i, l, m, o,
                                               obs_t, planner_t, Tsteps, mi)

@@ -20,6 +20,31 @@ import numpy as np
 
 from .losses.metrics import box_corners
 
+# channel palette for multi-layer map rendering (reference
+# ``nuscenes_utils.py:717-731`` render_map_observation: drivable/carpark/
+# road_divider/lane_divider/walkway/ped_crossing)
+MAP_COLOR_LIST = ["darkgray", "coral", "orange", "gold", "lightblue",
+                  "lightblue"]
+MAP_ALPHA_LIST = [1.0, 0.6, 0.6, 0.6, 1.0, 0.5]
+
+
+def _render_map_layers(ax, crop, extent):
+    """Overlay every raster channel with its reference color
+    (``nuscenes_utils.py:704-731``): one RGBA image per channel, alpha =
+    occupancy * layer alpha, drawn over a white background."""
+    import matplotlib.colors as mcolors
+
+    h, w = crop.shape[-2:]
+    ax.imshow(np.ones((h, w, 3)), origin="lower", extent=extent, zorder=0)
+    for i in range(crop.shape[0]):
+        c = mcolors.to_rgba(MAP_COLOR_LIST[i % len(MAP_COLOR_LIST)])[:3]
+        a = MAP_ALPHA_LIST[i % len(MAP_ALPHA_LIST)]
+        occ = (np.asarray(crop[i], dtype=np.float32) > 0).astype(np.float32)
+        rgba = np.empty((h, w, 4), dtype=np.float32)
+        rgba[..., 0], rgba[..., 1], rgba[..., 2] = c
+        rgba[..., 3] = occ * a
+        ax.imshow(rgba, origin="lower", extent=extent, zorder=0)
+
 
 def get_adv_coloring(na, attack_agt, planner_idx=0):
     """Reference ``nuscenes_utils.py:434-475``: planner green, attacker red,
@@ -69,9 +94,10 @@ def render_scene(out_path, map_store, map_idx, past, future_pred, lw, mask,
     px1 = min(int(x1 / dx[0]), raster.shape[2])
     py1 = min(int(y1 / dx[1]), raster.shape[1])
     if px1 > px0 and py1 > py0:
-        crop = raster[0, py0:py1, px0:px1]
-        ax.imshow(crop, origin="lower", cmap="Greys", alpha=0.4,
-                  extent=(px0 * dx[0], px1 * dx[0], py0 * dx[1], py1 * dx[1]))
+        crop = raster[:, py0:py1, px0:px1]
+        _render_map_layers(
+            ax, crop,
+            (px0 * dx[0], px1 * dx[0], py0 * dx[1], py1 * dx[1]))
 
     cmap = plt.get_cmap("rainbow")
     fp_all = None if future_pred is None else np.asarray(future_pred)

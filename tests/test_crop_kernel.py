@@ -10,7 +10,8 @@ from strive_tpu.maps.crop_kernel import (KERNEL_AVAILABLE, get_map_crop_kernel,
                                          kernel_blocks, kernel_supported)
 
 pytestmark = pytest.mark.skipif(
-    not KERNEL_AVAILABLE, reason="crop kernel disabled")
+    not KERNEL_AVAILABLE or jax.default_backend() != "tpu",
+    reason="crop kernel disabled (TPU-only Pallas path)")
 
 BOUNDS = (-17.0, -38.5, 60.0, 38.5)
 

@@ -275,3 +275,51 @@ def test_single_decode_vjp_matches_two_decode(setup, embedded):
     np.testing.assert_allclose(np.asarray(grads1["other"]),
                                np.asarray(grads2["other"]), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_closed_loop_fused_refresh_matches_chunked(setup, embedded):
+    """The fused refresh-every-k loop (planner re-rolled inside ONE
+    compiled program, optim/loop.py run_adam_loop_vg_refresh) computes the
+    same optimization as the chunked host loop with the same k: identical
+    decode -> planner -> k Adam steps sequence (reference refresh
+    semantics, adv_scenario_gen.py:381-476)."""
+    from strive_tpu.maps.lanegraph import synthetic_lanegraph
+    from strive_tpu.planners import PLANNER_CONFIGS, PlannerConfig
+    from strive_tpu.planners.tpu_planner import TpuRulePlanner
+
+    model, params, scene, store = setup
+    prior = embedded["prior_out"]
+    z0 = prior[0]
+    weights = {
+        "adv_crash": 2.0, "motion_prior": 1.0, "motion_prior_atk": 0.005,
+        "coll_veh": 20.0, "coll_veh_plan": 20.0, "coll_env": 20.0,
+        "init_z": 0.5, "init_z_atk": 0.05, "match_ext": 10.0,
+        "motion_prior_ext": 0.0001,
+    }
+    state_norm = state_normalizer_for(TEST_CATS := ("car", "truck"))
+    att_norm = att_normalizer_for(TEST_CATS)
+    lg = synthetic_lanegraph(extent_m=128.0, spacing_m=32.0)
+    pc = PlannerConfig(**PLANNER_CONFIGS["default"])
+    tp = TpuRulePlanner({m: lg for m in store.map_names}, store.map_names,
+                        pc)
+    init_state = np.asarray(state_norm.unnormalize(scene.past_gt[:, :, -1]))
+    lw_un = np.asarray(att_norm.unnormalize(scene.lw))
+    tp.reset(init_state, lw_un, np.asarray(scene.mask),
+             np.asarray(scene.map_idx))
+    pfn = tp.make_fused_fn(state_norm, 0.5, scene.FT)
+
+    def run(mode, k):
+        out = run_adv_gen_optim(
+            model, params, z0, 0.05, weights, scene, store, 4, embedded,
+            "hardcode", (prior[0][:, 0], prior[1][:, 0]), prior, 0, None,
+            planner_rollout_fn=pfn, closed_loop_mode=mode,
+            planner_state=tp.state, planner_refresh_every=k)
+        return np.asarray(out[0]), np.asarray(out[4])
+
+    for k in (2, 3):  # 3 exercises the 4 % 3 remainder super-step
+        z_c, loss_c = run("chunked", k)
+        z_f, loss_f = run("fused", k)
+        np.testing.assert_allclose(loss_f, loss_c, rtol=2e-4, atol=2e-5,
+                                   err_msg=f"k={k}")
+        np.testing.assert_allclose(z_f, z_c, rtol=2e-3, atol=2e-4,
+                                   err_msg=f"k={k}")
