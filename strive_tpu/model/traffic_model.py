@@ -239,10 +239,15 @@ class TrafficModel(nn.Module):
 
         layout = ("nchw" if os.environ.get("STRIVE_DISABLE_NHWC_CROP")
                   else "nhwc")
+        # emit the crop directly in the compute dtype: the r2 bf16 attempt
+        # lost to a separate f32->bf16 cast+relayout pass over the 33 MB
+        # crop; unpacking straight to bf16 in the fused epilogue avoids it
+        cdt = (jnp.dtype(self.compute_dtype) if self.compute_dtype
+               else jnp.float32)
         crop = get_map_crop(
             map_store.raster, map_store.dx, pos_unnorm, mapixes,
             self.map_bounds, L=self.map_obs_size_pix, W=self.map_obs_size_pix,
-            packed=map_store.packed, min_dx=map_store.min_dx_m,
+            dtype=cdt, packed=map_store.packed, min_dx=map_store.min_dx_m,
             layout=layout,
         )
         feat = self.map_encoder(crop, input_layout=layout)
