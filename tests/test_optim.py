@@ -316,7 +316,9 @@ def test_closed_loop_fused_refresh_matches_chunked(setup, embedded):
             planner_state=tp.state, planner_refresh_every=k)
         return np.asarray(out[0]), np.asarray(out[4])
 
-    for k in (2, 3):  # 3 exercises the 4 % 3 remainder super-step
+    # k=1 covers the fused per-iteration planner call inside _vg (the
+    # flagship path); 3 exercises the 4 % 3 remainder super-step
+    for k in (1, 2, 3):
         z_c, loss_c = run("chunked", k)
         z_f, loss_f = run("fused", k)
         np.testing.assert_allclose(loss_f, loss_c, rtol=2e-4, atol=2e-5,
