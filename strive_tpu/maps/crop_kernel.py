@@ -81,32 +81,66 @@ def kernel_supported(bounds, dx_m, packed_shape, L=256, W=256):
             and kr * BR <= 512 and kc * BC <= 512)
 
 
-def _make_kernel(kr, kc, nq):
+def _tiles_per_program(T):
+    """Largest G in {8, 4, 2, 1} dividing the tile count.
+
+    The grid has a fixed ~0.3 us/program dispatch cost on this runtime
+    (measured, PERF.md r3); batching G tiles per program amortizes it
+    (2048 -> 256 programs for a 256px crop at 32 agents)."""
+    for g in (8, 4, 2, 1):
+        if T % g == 0:
+            return g
+    return 1
+
+
+def _make_kernel(kr, kc, nq, G, int8):
     def _kernel(rb_ref, cb_ref, ly_ref, lx_ref, *rest):
-        quads = rest[:nq]
-        out_ref = rest[nq]
-        win = rest[nq + 1]
-        q = 0
-        for i in range(kr):
-            for j in range(kc):
-                win[i * BR:(i + 1) * BR, j * BC:(j + 1) * BC] = quads[q][:]
-                q += 1
-        wt = win[:].astype(jnp.int32).astype(jnp.bfloat16)  # (kr*64, kc*128)
-        ly = ly_ref[0, 0]                                   # (1, PTS)
-        lx = lx_ref[0, 0]
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (kr * BR, PTS), 0)
-        iota_c = jax.lax.broadcasted_iota(jnp.int32, (kc * BC, PTS), 0)
-        onehot = (iota_r == ly).astype(jnp.bfloat16)        # (kr*64, PTS)
-        # DEFAULT precision is exact here (bf16 holds 0..255 and one-hot
-        # exactly; f32 accumulate) and is the only mode this Mosaic build
-        # compiles — "highest" crashes it (conftest sets it globally)
-        rows = jax.lax.dot_general(
-            wt, onehot, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)            # (kc*128, PTS)
-        val = jnp.sum(jnp.where(iota_c == lx, rows, 0.0), axis=0,
-                      keepdims=True)                        # (1, PTS)
-        out_ref[0, 0] = val
+        quads = rest[:nq * G]
+        out_ref = rest[nq * G]
+        win = rest[nq * G + 1]
+        for g in range(G):
+            q = g * nq
+            for i in range(kr):
+                for j in range(kc):
+                    win[i * BR:(i + 1) * BR, j * BC:(j + 1) * BC] = quads[q][:]
+                    q += 1
+            ly = ly_ref[0, g]                               # (1, PTS)
+            lx = lx_ref[0, g]
+            iota_r = jax.lax.broadcasted_iota(jnp.int32, (kr * BR, PTS), 0)
+            iota_c = jax.lax.broadcasted_iota(jnp.int32, (kc * BC, PTS), 0)
+            if int8:
+                # int8 MXU path: bytes offset by -128 fit int8 exactly;
+                # every point matches exactly ONE one-hot row (ly is
+                # clipped into the window), so adding 128 back after the
+                # masked column pick is exact for all byte values 0..255.
+                # ~2x the bf16 matmul throughput (measured, PERF.md r3).
+                wt = (win[:].astype(jnp.int32) - 128).astype(jnp.int8)
+                onehot = (iota_r == ly).astype(jnp.int8)    # (kr*64, PTS)
+                # explicit DEFAULT precision: a globally-configured
+                # "highest" (tests' conftest) would request fp32 contract
+                # on i8 operands, which this Mosaic rejects ("Bad lhs
+                # type"); integer one-hot matmuls are exact regardless
+                rows = jax.lax.dot_general(
+                    wt, onehot, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                    precision=jax.lax.Precision.DEFAULT)    # (kc*128, PTS)
+                val = jnp.sum(jnp.where(iota_c == lx, rows, 0), axis=0,
+                              keepdims=True) + 128          # (1, PTS)
+                out_ref[0, g] = val.astype(jnp.float32)
+            else:
+                # bf16 fallback: DEFAULT precision is exact here (bf16
+                # holds 0..255 and one-hot exactly; f32 accumulate) and is
+                # the only f.p. mode this Mosaic build compiles — "highest"
+                # crashes it (conftest sets it globally)
+                wt = win[:].astype(jnp.int32).astype(jnp.bfloat16)
+                onehot = (iota_r == ly).astype(jnp.bfloat16)
+                rows = jax.lax.dot_general(
+                    wt, onehot, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+                val = jnp.sum(jnp.where(iota_c == lx, rows, 0.0), axis=0,
+                              keepdims=True)
+                out_ref[0, g] = val
 
     return _kernel
 
@@ -118,29 +152,34 @@ def _crop_onehot(flat, ly, lx, rb, cb, kr, kc):
     :return: (N, T, 1, PTS) float32 gathered byte values
     """
     N, T = rb.shape
+    G = _tiles_per_program(T)
+    int8 = not os.environ.get("STRIVE_CROP_BF16")
+    nq = kr * kc
 
-    def spec_q(dr, dc):
+    def spec_q(g, dr, dc):
         return pl.BlockSpec(
             (BR, BC),
-            lambda a, t, rb, cb, dr=dr, dc=dc: (rb[a, t] + dr, cb[a, t] + dc),
+            lambda a, t, rb, cb, g=g, dr=dr, dc=dc: (
+                rb[a, t * G + g] + dr, cb[a, t * G + g] + dc),
             memory_space=pltpu.VMEM)
 
-    idx_spec = pl.BlockSpec((1, 1, 1, PTS), lambda a, t, *_: (a, t, 0, 0),
+    idx_spec = pl.BlockSpec((1, G, 1, PTS), lambda a, t, *_: (a, t, 0, 0),
                             memory_space=pltpu.VMEM)
-    quad_specs = [spec_q(i, j) for i in range(kr) for j in range(kc)]
+    quad_specs = [spec_q(g, i, j) for g in range(G)
+                  for i in range(kr) for j in range(kc)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(N, T),
+        grid=(N, T // G),
         in_specs=[idx_spec, idx_spec] + quad_specs,
-        out_specs=pl.BlockSpec((1, 1, 1, PTS), lambda a, t, *_: (a, t, 0, 0),
+        out_specs=pl.BlockSpec((1, G, 1, PTS), lambda a, t, *_: (a, t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((kr * BR, kc * BC), jnp.uint8)],
     )
     return pl.pallas_call(
-        _make_kernel(kr, kc, len(quad_specs)),
+        _make_kernel(kr, kc, nq, G, int8),
         out_shape=jax.ShapeDtypeStruct((N, T, 1, PTS), jnp.float32),
         grid_spec=grid_spec,
-    )(rb, cb, ly, lx, *([flat] * len(quad_specs)))
+    )(rb, cb, ly, lx, *([flat] * (nq * G)))
 
 
 def _tileize(idx, N, L, W):
