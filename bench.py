@@ -42,8 +42,9 @@ def main():
     state_norm = state_normalizer_for(cats)
     att_norm = att_normalizer_for(cats)
     norm = NormConfig.from_normalizers(state_norm, att_norm)
-    # f32 compute measured faster than bf16 here: the rollout is gather/
-    # small-op bound, not MXU-bound, and bf16 adds cast traffic.
+    # f32 compute: bf16 measures ~1 ms/iter faster post-kernel-v2 (20.9 vs
+    # 21.9 ms decode+grad, PERF.md r3) — within run noise, so keep the
+    # reference's f32 numerics for the headline.
     # STRIVE_MAP_REFRESH=k re-encodes the map crop every k rollout steps
     # (PERF.md knob; 1 = reference-faithful, the headline setting).
     map_refresh = int(os.environ.get("STRIVE_MAP_REFRESH", "1"))

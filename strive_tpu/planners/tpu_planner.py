@@ -90,6 +90,15 @@ class LaneTables(NamedTuple):
     forke_b: jnp.ndarray   # (E,) edge id at that fork
     chainc_f: jnp.ndarray  # (E, 4, K+1) fwd walk per branch code (host-built)
     distc_f: jnp.ndarray   # (E, 4) walk distinct from branch-0 walk?
+    # extended XY polylines (host-built): the runtime walk is ONE
+    # contiguous row read. The previous formulation read chain vertex ids
+    # then gathered vxy[v] per walk — XLA lowers that gather to its
+    # ~0.11 G elem/s scalar path, and the dead-end extrapolation ran per
+    # walk per step; both are pure functions of (edge, code), so they are
+    # assembled once at table-build time (PERF.md r3).
+    chainxy_f: jnp.ndarray   # (E, 4, K+1, 2) fwd polyline per branch code
+    chain0xy_f: jnp.ndarray  # (E, K+1, 2) fwd branch-0 polyline
+    chain0xy_b: jnp.ndarray  # (E, K+1, 2) bwd branch-0 polyline
 
 
 def _host_chain0(E, table, deg, endv, K):
@@ -157,6 +166,47 @@ def _host_chainc(chain0, fork, forke, succ, deg, codes):
     return out, dist
 
 
+def _host_extend_xy(chain_v, edges, vxy, edge_ids, forward):
+    """Vertex-id chains -> (..., K+1, 2) polylines with dead ends
+    extrapolated along the last valid direction (reference _extend
+    :416-431 adds one far point; linear interp is equivalent). A walk can
+    have a SINGLE valid vertex (the matched edge dead-ends immediately);
+    its direction is then the edge's own heading — deriving it from
+    xy[last-1] would read garbage and reverse the spline (r3
+    randomized-sweep finding). Runs on the host at table-build time
+    (float32 throughout, same op order as the old device code).
+
+    :param chain_v: (..., K+1) int vertex ids, -1 = invalid
+    :param edge_ids: (...,) int edge id per chain (for the fallback dir)
+    """
+    E = edges.shape[0]
+    V = vxy.shape[0]
+    K1 = chain_v.shape[-1]
+    i = np.arange(K1)
+    valid = chain_v >= 0
+    xy = vxy[np.clip(chain_v, 0, V - 1)].astype(np.float32)
+    last = np.max(np.where(valid, i, 0), axis=-1)            # (...,)
+    p_last = np.take_along_axis(
+        xy, last[..., None, None].repeat(2, -1), axis=-2)[..., 0, :]
+    prev = np.maximum(last - 1, 0)
+    p_prev = np.take_along_axis(
+        xy, prev[..., None, None].repeat(2, -1), axis=-2)[..., 0, :]
+    d_seg = (p_last - p_prev).astype(np.float32)
+    seg_norm = np.sqrt(np.sum(d_seg * d_seg, axis=-1,
+                              dtype=np.float32)).astype(np.float32)
+    edge_dir = edges[np.minimum(edge_ids, E - 1), 2:4].astype(np.float32)
+    if not forward:
+        edge_dir = -edge_dir
+    d_last = np.where((seg_norm > 1e-6)[..., None],
+                      d_seg / np.maximum(seg_norm, np.float32(1e-6))[..., None],
+                      edge_dir)
+    steps = (i - last[..., None]).astype(np.float32)
+    extrap = (p_last[..., None, :]
+              + np.maximum(steps, np.float32(1.0))[..., None]
+              * d_last[..., None, :])
+    return np.where(valid[..., None], xy, extrap).astype(np.float32)
+
+
 def build_lane_tables(lg, S=None, K=128) -> LaneTables:
     """Host-side: lane-graph dict -> padded edge-adjacency tables."""
     edges = np.asarray(lg["edges"], np.float32)
@@ -180,6 +230,13 @@ def build_lane_tables(lg, S=None, K=128) -> LaneTables:
     cf, ff, fef = _host_chain0(E, succ_np, succ_deg, ixes[:, 1], K)
     cb, fb, feb = _host_chain0(E, pred_np, pred_deg, ixes[:, 0], K)
     ccf, dcf = _host_chainc(cf, ff, fef, succ_np, succ_deg, _BRANCH_CODES)
+    vxy_np = np.asarray(lg["xy"], np.float32)
+    eid = np.arange(E)
+    cxy_f = _host_extend_xy(ccf, edges, vxy_np,
+                            np.broadcast_to(eid[:, None], ccf.shape[:2]),
+                            True)
+    c0xy_f = _host_extend_xy(cf, edges, vxy_np, eid, True)
+    c0xy_b = _host_extend_xy(cb, edges, vxy_np, eid, False)
     return LaneTables(
         edges=jnp.asarray(edges),
         emap=jnp.zeros((E,), jnp.int32),
@@ -198,6 +255,9 @@ def build_lane_tables(lg, S=None, K=128) -> LaneTables:
         forke_b=jnp.asarray(feb, jnp.int32),
         chainc_f=jnp.asarray(ccf, jnp.int32),
         distc_f=jnp.asarray(dcf),
+        chainxy_f=jnp.asarray(cxy_f),
+        chain0xy_f=jnp.asarray(c0xy_f),
+        chain0xy_b=jnp.asarray(c0xy_b),
     )
 
 
@@ -235,6 +295,9 @@ def stack_lane_tables(tables_list):
             fork_b=t.fork_b, forke_b=t.forke_b + eo,
             chainc_f=rvert(t.chainc_f).astype(jnp.int32),
             distc_f=t.distc_f,
+            chainxy_f=t.chainxy_f,
+            chain0xy_f=t.chain0xy_f,
+            chain0xy_b=t.chain0xy_b,
         ))
         eo += e
         vo += v
@@ -262,6 +325,9 @@ def stack_lane_tables(tables_list):
         forke_b=jnp.concatenate([p.forke_b for p in parts]),
         chainc_f=jnp.concatenate([p.chainc_f for p in parts]),
         distc_f=jnp.concatenate([p.distc_f for p in parts]),
+        chainxy_f=jnp.concatenate([p.chainxy_f for p in parts]),
+        chain0xy_f=jnp.concatenate([p.chain0xy_f for p in parts]),
+        chain0xy_b=jnp.concatenate([p.chain0xy_b for p in parts]),
     )
 
 
@@ -347,79 +413,61 @@ def _match_edges(pose, tab: LaneTables, cfg: StaticPlanCfg, mid):
 
 def _cluster_reps(ok, closest, dist, cfg: StaticPlanCfg):
     """Closest-first representatives with spatial dedupe (stands in for the
-    reference's connectivity clustering :324-347; see module docstring)."""
-    def body(carry, _):
-        removed, = carry
+    reference's connectivity clustering :324-347; see module docstring).
+
+    Unrolled (MC is 3) and gather-free: the representative's closest-point
+    is read with a one-hot matmul and its distance via min() — the scan
+    formulation's batch-varying ``closest[i]``/``d[i]`` gathers lowered to
+    the ~0.11 G elem/s scalar path and were 40% of the whole planner
+    program (33 of 83 ms at B=4, PERF.md r3)."""
+    iota = jnp.arange(dist.shape[0])
+    removed = jnp.zeros_like(ok)
+    reps, rep_valid = [], []
+    for _ in range(cfg.MC):
         d = jnp.where(ok & ~removed, dist, BIG)
+        dmin = jnp.min(d)
         i = jnp.argmin(d)
-        valid = d[i] < BIG
-        c = closest[i]
+        valid = dmin < BIG
+        # closest[i] without a gather: one-hot row pick (batches to one
+        # (batch, E) @ (E, 2) matmul under the callers' vmaps)
+        c = jnp.dot((iota == i).astype(closest.dtype), closest,
+                    precision=jax.lax.Precision.HIGHEST)  # f32 passthrough
         near = jnp.hypot(closest[:, 0] - c[0], closest[:, 1] - c[1]) \
             < cfg.dedupe_r
         removed = removed | jnp.where(valid, near, False)
-        return (removed,), (i.astype(jnp.int32), valid)
-
-    (_,), (reps, rep_valid) = jax.lax.scan(
-        body, (jnp.zeros_like(ok),), None, length=cfg.MC)
-    return reps, rep_valid  # (MC,), (MC,)
+        reps.append(i.astype(jnp.int32))
+        rep_valid.append(valid)
+    return jnp.stack(reps), jnp.stack(rep_valid)  # (MC,), (MC,)
 
 
 # (moved above LaneTables: _BRANCH_CODES is used by build_lane_tables)
 
 
-def _extend_xy(tab: LaneTables, edge0, forward, v):
-    """Vertex-id walk -> (K+1, 2) polyline, extrapolating past dead ends.
-
-    Pads dead ends by extrapolating the last valid direction (reference
-    _extend :416-431 adds one far point; linear interp is equivalent).
-    A walk can have a SINGLE valid vertex (the matched edge dead-ends
-    immediately); its direction is then the edge's own heading — deriving
-    it from xy[last-1] would read a clipped garbage gather and reverse
-    the spline (r3 randomized-sweep finding).
-    """
-    E = tab.edges.shape[0]
-    K1 = v.shape[0]
-    i = jnp.arange(K1)
-    valid = v >= 0
-    xy = tab.vxy[jnp.clip(v, 0, tab.vxy.shape[0] - 1)]
-    last = jnp.max(jnp.where(valid, i, 0))
-    p_last = xy[last]
-    d_seg = xy[last] - xy[jnp.maximum(last - 1, 0)]
-    seg_norm = jnp.linalg.norm(d_seg)
-    edge_dir = tab.edges[jnp.minimum(edge0, E - 1), 2:4]
-    edge_dir = edge_dir if forward else -edge_dir
-    d_last = jnp.where(seg_norm > 1e-6,
-                       d_seg / jnp.maximum(seg_norm, 1e-6), edge_dir)
-    steps = (i - last).astype(jnp.float32)
-    extrap = p_last[None] + jnp.maximum(steps, 1.0)[:, None] * d_last[None]
-    return jnp.where(valid[:, None], xy, extrap)
-
-
 def _walk_coded(tab: LaneTables, edge0, ci):
     """Forward edge walk for branch-code index ``ci``: polyline + distinct.
 
-    The fork-branch chain assembly (reference expand_verts :379-414) is
-    precomputed per (edge, code) on the host (:func:`_host_chainc`), so
-    the runtime walk is ONE scalar row read — the fork-table lookups and
-    shifted-row selects it replaces cost 24 ms of the planner program at
-    production shapes (PERF.md r3). An out-of-range edge (padding rep)
-    reads the branch-0 row, whose chainc row equals chain0_f by
-    construction, reproducing the old in-line walk bit-for-bit.
+    The fork-branch chain assembly (reference expand_verts :379-414) AND
+    the vertex-id -> xy resolution + dead-end extrapolation are all
+    precomputed per (edge, code) on the host (:func:`_host_chainc` /
+    :func:`_host_extend_xy`), so the runtime walk is ONE contiguous row
+    read — the chain/vxy gathers and per-walk extrapolation it replaces
+    were the planner's dominant cost at production shapes (PERF.md r3).
+    An out-of-range edge (padding rep) reads the branch-0 row, whose
+    chainxy row equals chain0xy_f by construction, reproducing the old
+    in-line walk bit-for-bit.
     """
     E = tab.edges.shape[0]
     e1 = jnp.minimum(edge0, E - 1)
     in_range = edge0 < E
     ci_eff = jnp.where(in_range, ci, 0)
-    v = tab.chainc_f[e1, ci_eff]
     distinct = (in_range & tab.distc_f[e1, ci]) | (ci == 0)
-    return _extend_xy(tab, edge0, True, v), distinct
+    return tab.chainxy_f[e1, ci_eff], distinct
 
 
 def _walk0(tab: LaneTables, edge0, forward):
-    """Branch-0 (code (0, 0)) walk: a direct chain0 row read."""
-    chain0 = tab.chain0_f if forward else tab.chain0_b
-    v = chain0[jnp.minimum(edge0, tab.edges.shape[0] - 1)]
-    return _extend_xy(tab, edge0, forward, v)
+    """Branch-0 (code (0, 0)) walk: a direct polyline row read."""
+    cxy = tab.chain0xy_f if forward else tab.chain0xy_b
+    return cxy[jnp.minimum(edge0, tab.edges.shape[0] - 1)]
 
 
 def _interp_cols(tq, t, vals):
@@ -485,10 +533,19 @@ def _route_spline(xys, ix0, pose, cfg: StaticPlanCfg):
     cdp1 = jnp.concatenate([cd[1:], cd[-1:] + 1.0])  # cd[j+1], stop at end
     stop_r = (cdp1 >= cd) & (idx >= cix_l)
     cix = jnp.min(jnp.where(stop_r, idx, P - 2))
-    cclose = cpts[cix]
+    # reads at the data-dependent cix via one-hot matmuls: batch-varying
+    # scalar gathers lower to XLA's ~0.11 G elem/s path under the callers'
+    # vmaps (PERF.md r3); HIGHEST precision = exact f32 passthrough
+    ohc = (idx == cix).astype(cpts.dtype)            # (P-1,)
+    pick = lambda a: jnp.dot(ohc, a, precision=jax.lax.Precision.HIGHEST)
+    cclose = pick(cpts)
+    xys_cix = pick(xys[:-1])
+    t_partial = jnp.cumsum(seglen)                   # t[1:] of the knots
+    t_cix = jnp.dot(jnp.concatenate([jnp.zeros(1), t_partial])[:-1], ohc,
+                    precision=jax.lax.Precision.HIGHEST)
 
-    t = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seglen)])
-    t = t - t[cix] - jnp.linalg.norm(cclose - xys[cix])
+    t = jnp.concatenate([jnp.zeros(1), t_partial])
+    t = t - t_cix - jnp.linalg.norm(cclose - xys_cix)
 
     # static warp grid at lane_ds spacing, 0 at the route-closest point
     NB = cfg.NB
@@ -530,16 +587,18 @@ def _agent_splines(pose, tab: LaneTables, cfg: StaticPlanCfg, mid):
     ok, closest, dist = _match_edges(pose, tab, cfg, mid)
     reps, rep_valid = _cluster_reps(ok, closest, dist, cfg)
 
-    def one(rep, ci):
-        fwd, fw_distinct = _walk_coded(tab, rep, ci)
-        bwd = _walk0(tab, rep, False)
-        xys = jnp.concatenate([bwd[::-1], fwd], axis=0)
-        t2, vals = _route_spline(xys, cfg.KWALK, pose, cfg)
-        return t2, vals, fw_distinct
+    def one(rep):
+        bwd = _walk0(tab, rep, False)[::-1]  # ci-invariant: hoisted
 
-    t2, vals, distinct = jax.vmap(
-        lambda rep: jax.vmap(lambda ci: one(rep, ci))(
-            jnp.arange(cfg.NBR)))(reps)
+        def per_code(ci):
+            fwd, fw_distinct = _walk_coded(tab, rep, ci)
+            xys = jnp.concatenate([bwd, fwd], axis=0)
+            t2, vals = _route_spline(xys, cfg.KWALK, pose, cfg)
+            return t2, vals, fw_distinct
+
+        return jax.vmap(per_code)(jnp.arange(cfg.NBR))
+
+    t2, vals, distinct = jax.vmap(one)(reps)
     t2 = t2.reshape(cfg.MC * cfg.NBR, -1)
     vals = vals.reshape(cfg.MC * cfg.NBR, -1, 4)
     valid = (rep_valid[:, None] & distinct.reshape(cfg.MC, cfg.NBR)
@@ -628,7 +687,7 @@ def _ego_spline(pose, tab: LaneTables, cfg: StaticPlanCfg, mid):
     ok, closest, dist = _match_edges(pose, tab, cfg, mid)
     d = jnp.where(ok, dist, BIG)
     rep = jnp.argmin(d).astype(jnp.int32)
-    has = d[rep] < BIG
+    has = jnp.min(d) < BIG  # == d[rep], without the batch-varying gather
     fwd = _walk0(tab, rep, True)
     bwd = _walk0(tab, rep, False)
     xys = jnp.concatenate([bwd[::-1], fwd], axis=0)
@@ -743,8 +802,11 @@ def _plan_step_ego(ego, lw0, opos, ocirc, ovalid0, tab,
     best_min = jnp.argmin(pcol)
     pick = jnp.where(jnp.any(okp), best_ok, best_min)
 
-    # step along the spline (reference compute_action :829-857)
-    stgt = _speed_profile(s0, s1s[pick], accs[pick], 1, cfg.dt)[1]
+    # step along the spline (reference compute_action :829-857);
+    # s1s[pick]/accs[pick] via one-hot (gather pathology, PERF.md r3)
+    ohp = (jnp.arange(NP) == pick).astype(s1s.dtype)
+    dotp = lambda a: jnp.dot(ohp, a, precision=jax.lax.Precision.HIGHEST)
+    stgt = _speed_profile(s0, dotp(s1s), dotp(accs), 1, cfg.dt)[1]
     loc = _interp_cols(jnp.array([cfg.dt * stgt]), t2e, valse)[0]
     newx, newy = loc[0], loc[1]
     newh = jnp.arctan2(loc[3], loc[2])
