@@ -79,7 +79,8 @@ def check_behind(attacker_fut, tgt_fut, crash_min_infront):
 
 def adv_gen_loss(future_pred, tgt_traj, z, prior_out, *, lw, mask, mapixes,
                  drivable, dx, init_z, weights, veh_coll_buffer=0.0,
-                 crash_min_t=0, crash_min_infront=None, attack_agt_mask=None):
+                 crash_min_t=0, crash_min_infront=None, attack_agt_mask=None,
+                 packed=None, min_dx=None):
     """The adversarial objective (reference ``adv_gen_nusc.py:53-262``).
 
     :param future_pred: (B, NA, T, 4) UNNORMALIZED; agent 0 models the planner
@@ -192,7 +193,8 @@ def adv_gen_loss(future_pred, tgt_traj, z, prior_out, *, lw, mask, mapixes,
 
     if weights.get("coll_env", 0.0) > 0.0:
         env_pens, env_valid = env_coll_penalties(
-            fut_interp, lw, nonego, mapixes, drivable, dx
+            fut_interp, lw, nonego, mapixes, drivable, dx,
+            packed=packed, min_dx=min_dx,
         )
         env_loss = masked_mean(env_pens, env_valid)
         loss = loss + weights["coll_env"] * env_loss
@@ -213,7 +215,8 @@ def adv_gen_loss(future_pred, tgt_traj, z, prior_out, *, lw, mask, mapixes,
 
 def avoid_coll_loss(future_pred, z, prior_out, *, lw, mask, mapixes, drivable,
                     dx, init_z, weights, veh_coll_buffer=0.0,
-                    single_veh_idx=None, z_mask=None):
+                    single_veh_idx=None, z_mask=None,
+                    packed=None, min_dx=None):
     """Collision-avoidance objective (reference ``adv_gen_nusc.py:264-341``).
 
     :param future_pred: (B, NA, T, 4) UNNORMALIZED
@@ -247,7 +250,8 @@ def avoid_coll_loss(future_pred, z, prior_out, *, lw, mask, mapixes, drivable,
         else:
             traj, env_mask, env_lw = fut_interp, mask, lw
         env_pens, env_valid = env_coll_penalties(
-            traj, env_lw, env_mask, mapixes, drivable, dx
+            traj, env_lw, env_mask, mapixes, drivable, dx,
+            packed=packed, min_dx=min_dx,
         )
         env_loss = masked_mean(env_pens, env_valid)
         loss = loss + weights["coll_env"] * env_loss

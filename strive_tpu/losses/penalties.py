@@ -88,13 +88,17 @@ def masked_mean(x, mask, fallback=0.0):
     return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), fallback)
 
 
-def env_coll_penalties(traj, lw, mask, mapixes, drivable, dx):
+def env_coll_penalties(traj, lw, mask, mapixes, drivable, dx,
+                       packed=None, min_dx=None):
     """Non-drivable-overlap penalties.
 
     :param traj: (B, NA, T, 4) UNNORMALIZED
     :param lw: (B, NA, 2) UNNORMALIZED
     :param mapixes: (B,) map index per scene
     :param drivable: (M, H, W) layer-0 raster
+    :param packed/min_dx: optional bit-packed raster + static min
+        meters-per-pixel; routes the footprint gather through the Pallas
+        one-hot kernel (bit-exact, see ``queries.get_coll_point``)
     :return: penalties (B, NA, T), valid (B, NA, T) True where the agent is
         real and *partially* off-road.
 
@@ -109,7 +113,8 @@ def env_coll_penalties(traj, lw, mask, mapixes, drivable, dx):
         mapixes[:, None, None], (B, NA, T)
     ).reshape(-1)
     coll_pt, cp_valid, _ = get_coll_point(
-        drivable, dx, jax.lax.stop_gradient(flat), flat_lw, flat_map
+        drivable, dx, jax.lax.stop_gradient(flat), flat_lw, flat_map,
+        packed=packed, min_dx=min_dx,
     )
     pen_dist = jnp.sqrt(lw[..., 0] ** 2 / 4.0 + lw[..., 1] ** 2 / 4.0)
     pen_dist = jnp.broadcast_to(pen_dist[:, :, None], (B, NA, T)).reshape(-1)

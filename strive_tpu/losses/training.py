@@ -66,6 +66,7 @@ def traffic_model_loss(scene: SceneBatch, pred, weights, state_norm, att_norm,
         pens, _ = env_coll_penalties(
             ego_samp, ego_lw, scene.mask[:, 0:1], scene.map_idx,
             map_store.drivable(), map_store.dx,
+            packed=map_store.packed, min_dx=map_store.min_dx_m,
         )
         # reference averages over every (ego, T) entry including zeros
         coll_env = jnp.mean(pens)

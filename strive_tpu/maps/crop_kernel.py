@@ -93,7 +93,7 @@ def _tiles_per_program(T):
     return 1
 
 
-def _make_kernel(kr, kc, nq, G, int8):
+def _make_kernel(kr, kc, nq, G, int8, pts=PTS):
     def _kernel(rb_ref, cb_ref, ly_ref, lx_ref, *rest):
         quads = rest[:nq * G]
         out_ref = rest[nq * G]
@@ -104,10 +104,10 @@ def _make_kernel(kr, kc, nq, G, int8):
                 for j in range(kc):
                     win[i * BR:(i + 1) * BR, j * BC:(j + 1) * BC] = quads[q][:]
                     q += 1
-            ly = ly_ref[0, g]                               # (1, PTS)
+            ly = ly_ref[0, g]                               # (1, pts)
             lx = lx_ref[0, g]
-            iota_r = jax.lax.broadcasted_iota(jnp.int32, (kr * BR, PTS), 0)
-            iota_c = jax.lax.broadcasted_iota(jnp.int32, (kc * BC, PTS), 0)
+            iota_r = jax.lax.broadcasted_iota(jnp.int32, (kr * BR, pts), 0)
+            iota_c = jax.lax.broadcasted_iota(jnp.int32, (kc * BC, pts), 0)
             if int8:
                 # int8 MXU path: bytes offset by -128 fit int8 exactly;
                 # every point matches exactly ONE one-hot row (ly is
@@ -147,11 +147,13 @@ def _make_kernel(kr, kc, nq, G, int8):
 
 def _crop_onehot(flat, ly, lx, rb, cb, kr, kc):
     """:param flat: (M*H, W) uint8 raster (dims multiples of BR / BC)
-    :param ly/lx: (N, T, 1, PTS) int32 window-local pixel indices
+    :param ly/lx: (N, T, 1, pts) int32 window-local pixel indices (pts a
+        multiple of 128; PTS for the crop path, padded L*W for footprints)
     :param rb/cb: (N, T) int32 top-left window BLOCK indices
-    :return: (N, T, 1, PTS) float32 gathered byte values
+    :return: (N, T, 1, pts) float32 gathered byte values
     """
     N, T = rb.shape
+    pts = ly.shape[-1]
     G = _tiles_per_program(T)
     int8 = not os.environ.get("STRIVE_CROP_BF16")
     nq = kr * kc
@@ -163,7 +165,7 @@ def _crop_onehot(flat, ly, lx, rb, cb, kr, kc):
                 rb[a, t * G + g] + dr, cb[a, t * G + g] + dc),
             memory_space=pltpu.VMEM)
 
-    idx_spec = pl.BlockSpec((1, G, 1, PTS), lambda a, t, *_: (a, t, 0, 0),
+    idx_spec = pl.BlockSpec((1, G, 1, pts), lambda a, t, *_: (a, t, 0, 0),
                             memory_space=pltpu.VMEM)
     quad_specs = [spec_q(g, i, j) for g in range(G)
                   for i in range(kr) for j in range(kc)]
@@ -171,13 +173,13 @@ def _crop_onehot(flat, ly, lx, rb, cb, kr, kc):
         num_scalar_prefetch=2,
         grid=(N, T // G),
         in_specs=[idx_spec, idx_spec] + quad_specs,
-        out_specs=pl.BlockSpec((1, G, 1, PTS), lambda a, t, *_: (a, t, 0, 0),
+        out_specs=pl.BlockSpec((1, G, 1, pts), lambda a, t, *_: (a, t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((kr * BR, kc * BC), jnp.uint8)],
     )
     return pl.pallas_call(
-        _make_kernel(kr, kc, nq, G, int8),
-        out_shape=jax.ShapeDtypeStruct((N, T, 1, PTS), jnp.float32),
+        _make_kernel(kr, kc, nq, G, int8, pts),
+        out_shape=jax.ShapeDtypeStruct((N, T, 1, pts), jnp.float32),
         grid_spec=grid_spec,
     )(rb, cb, ly, lx, *([flat] * (nq * G)))
 
@@ -257,3 +259,99 @@ def get_map_crop_kernel(raster, dx, pos, mapixes, bounds, L=256, W=256,
     shifts = jnp.arange(C, dtype=jnp.int32)[None, :, None, None]
     obs = (vals[:, None, :, :] >> shifts) & 1
     return obs.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Footprint-grid occupancy lookup (env-collision loss hot path)
+# ---------------------------------------------------------------------------
+
+# Static bound on one vehicle's footprint diagonal; sets the kernel window
+# span. 32 m covers every nuScenes vehicle class with a wide margin (the
+# largest annotated trucks are < 20 m).
+MAX_FOOTPRINT_DIAG_M = 32.0
+
+
+def footprint_kernel_blocks(min_dx):
+    span = int(math.ceil(MAX_FOOTPRINT_DIAG_M / min_dx)) + 2
+    return 1 + -(-span // BR), 1 + -(-span // BC)
+
+
+def footprint_supported(min_dx, packed_shape):
+    """Static check that the footprint kernel can serve this store."""
+    if os.environ.get("STRIVE_DISABLE_CROP_KERNEL"):
+        return False
+    if min_dx is None or min_dx <= 0:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    M, H, Wp = packed_shape
+    kr, kc = footprint_kernel_blocks(min_dx)
+    return ((M * H) % BR == 0 and Wp % BC == 0
+            and M * H >= kr * BR and Wp >= kc * BC
+            and kr * BR <= 512 and kc * BC <= 512)
+
+
+def get_footprint_vals_kernel(packed, real_hw, dx, cars, lw, mapixes,
+                              grid, min_dx, bit=0):
+    """Per-vehicle footprint-grid layer lookup via the one-hot MXU kernel.
+
+    Replaces the ``_pixel_lookup`` HBM gather inside ``get_coll_point``
+    (reference ``nuscenes_utils.py:334-390``) — the env-collision loss
+    samples L*W grid points per (agent, timestep) and XLA lowers that
+    batch-varying gather to the ~0.1 G elem/s scalar path (6 ms/iter at
+    bench shapes, PERF.md r3). All samples of ONE vehicle are spatially
+    coherent (footprint diagonal <= MAX_FOOTPRINT_DIAG_M), so each car is
+    one kernel tile: its L*W points (padded to a 128 lane multiple) gather
+    from a static (kr*64, kc*128) window by one-hot matmul.
+
+    Semantics identical to the XLA path: round-to-nearest pixel, x scaled
+    by dx[m, 0] / y by dx[m, 1], off-map samples read the map's REAL pixel
+    (0, 0). Integer in/out — no gradient (callers detach positions,
+    reference ``losses/adv_gen_nusc.py:366-403``).
+
+    :param packed: (M, Hp, Wp) bit-packed raster (kernel-aligned pads ok)
+    :param real_hw: (H, W) of the real raster (OOB boundary)
+    :param cars: (P, 4) UNNORMALIZED (x, y, hx, hy)
+    :param lw: (P, 2) footprint extents (meters)
+    :param grid: (L, W) static footprint resolution
+    :param bit: raster channel to extract (0 = drivable)
+    :return: vals (P, L, W) float32 in {0, 1}; xys_world (P, L, W, 2)
+    """
+    Mm, Hp, Wp = packed.shape
+    H_real, W_real = real_hw
+    L, W = grid
+    P = cars.shape[0]
+    MH = Mm * Hp
+
+    xys = gen_car_coords(cars[:, :2], cars[:, 2:4], L, W,
+                         ls=lw[:, 0], ws=lw[:, 1])
+    d = dx[mapixes]
+    px = jnp.round(xys[..., 0] / d[:, 0, None, None]).astype(jnp.int32)
+    py = jnp.round(xys[..., 1] / d[:, 1, None, None]).astype(jnp.int32)
+    outside = (px < 0) | (px >= W_real) | (py < 0) | (py >= H_real)
+
+    kr, kc = footprint_kernel_blocks(min_dx)
+    pya = mapixes.astype(jnp.int32)[:, None, None] * Hp + py
+    big = jnp.int32(1 << 30)
+    py_min = jnp.min(jnp.where(outside, big, pya), axis=(1, 2))
+    px_min = jnp.min(jnp.where(outside, big, px), axis=(1, 2))
+    py_min = jnp.where(py_min == big, 0, py_min)
+    px_min = jnp.where(px_min == big, 0, px_min)
+    rb = jnp.clip(py_min // BR, 0, MH // BR - kr)
+    cb = jnp.clip(px_min // BC, 0, Wp // BC - kc)
+    ly = jnp.clip(pya - rb[:, None, None] * BR, 0, kr * BR - 1)
+    lx = jnp.clip(px - cb[:, None, None] * BC, 0, kc * BC - 1)
+
+    pts = L * W
+    ptsf = -(-pts // BC) * BC  # pad points to a lane multiple
+    pad = ptsf - pts
+    ly_f = jnp.pad(ly.reshape(P, pts), ((0, 0), (0, pad)))
+    lx_f = jnp.pad(lx.reshape(P, pts), ((0, 0), (0, pad)))
+
+    flat = packed.reshape(MH, Wp)
+    vals = _crop_onehot(flat, ly_f[None, :, None, :], lx_f[None, :, None, :],
+                        rb[None, :], cb[None, :], kr, kc)
+    vals = vals[0, :, 0, :pts].reshape(P, L, W).astype(jnp.int32)
+    origin = packed[mapixes, 0, 0].astype(jnp.int32)
+    vals = jnp.where(outside, origin[:, None, None], vals)
+    return ((vals >> bit) & 1).astype(jnp.float32), xys

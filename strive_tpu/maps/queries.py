@@ -191,19 +191,37 @@ def check_line_layer(drivables, dx, start, end, mapixes, num_samples=LINE_SAMPLE
     return jnp.sum(pix == 0, axis=-1) > 0
 
 
-def get_coll_point(drivables, dx, cars, lw, mapixes, grid=COLL_POINT_GRID):
+def get_coll_point(drivables, dx, cars, lw, mapixes, grid=COLL_POINT_GRID,
+                   packed=None, min_dx=None):
     """Mean position of non-drivable pixels inside each car footprint.
 
     Matches reference ``nuscenes_utils.py:334-390`` but NaN-free: returns
 
+    :param packed: optional (M, H', W') bit-packed raster; with ``min_dx``
+        (static host float) routes the footprint gather through the Pallas
+        one-hot kernel (bit-exact, kills the 6 ms/iter XLA scalar-gather
+        path in the env-collision loss — PERF.md r3)
     :return coll_pt: (B, 2) world coords (zeros where invalid)
     :return valid: (B,) True only for cars *partially* off-road
     :return offroad_frac: (B,) fraction of footprint off-road
     """
     L, W = grid
+    if packed is not None and min_dx is not None:
+        from . import crop_kernel
+
+        if (crop_kernel.KERNEL_AVAILABLE
+                and crop_kernel.footprint_supported(min_dx, packed.shape)):
+            pix, xys_world = crop_kernel.get_footprint_vals_kernel(
+                packed, drivables.shape[-2:], dx, cars, lw, mapixes,
+                (L, W), min_dx, bit=0)
+            return _coll_point_from_pix(pix, xys_world, L, W)
     xys_world = gen_car_coords(cars[:, :2], cars[:, 2:4], L, W,
                                ls=lw[:, 0], ws=lw[:, 1])
     pix = _pixel_lookup(drivables, dx, xys_world, mapixes)
+    return _coll_point_from_pix(pix, xys_world, L, W)
+
+
+def _coll_point_from_pix(pix, xys_world, L, W):
     non_drivable = (pix == 0).astype(jnp.float32)[..., None]  # (B, L, W, 1)
     num_nd = jnp.sum(non_drivable, axis=(1, 2))  # (B, 1)
     coll_pt = jnp.sum(xys_world * non_drivable, axis=(1, 2)) / jnp.maximum(num_nd, 1.0)

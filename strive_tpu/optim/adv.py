@@ -139,6 +139,7 @@ def run_adv_gen_optim(model, params, cur_z, lr, loss_weights, scene, map_store,
                 crash_min_t=feasibility_time,
                 crash_min_infront=feasibility_infront_min,
                 attack_agt_mask=atk_mask,
+                packed=map_store.packed, min_dx=map_store.min_dx_m,
             )
 
         def _adv_loss(*a):

@@ -55,6 +55,7 @@ def run_refine_optim(model, params, cur_z, lr, loss_weights, scene, map_store,
                     drivable=map_store.drivable(), dx=map_store.dx,
                     init_z=init_z, weights=weights,
                     veh_coll_buffer=veh_coll_buffer, z_mask=scene.mask,
+                    packed=map_store.packed, min_dx=map_store.min_dx_m,
                 )
                 return out["loss"], out
 

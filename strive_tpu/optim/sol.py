@@ -68,6 +68,7 @@ def run_find_solution_optim(model, params, cur_z, final_result_traj,
                     drivable=map_store.drivable(), dx=map_store.dx,
                     init_z=tgt_init_z, weights=weights, veh_coll_buffer=0.5,
                     single_veh_idx=0, z_mask=ego_mask,
+                    packed=map_store.packed, min_dx=map_store.min_dx_m,
                 )["loss"]
 
             def _match_loss(pred_ft, other_z):
