@@ -124,12 +124,22 @@ def test_kernel_in_jit_and_grad_context(store, rng):
     np.testing.assert_allclose(np.asarray(g), 1.0)
 
 
+def _assert_footprint_routed(store):
+    # guard against vacuous passes: if the kernel route is off, both sides
+    # of the comparison take the XLA path and the test proves nothing
+    # (ADVICE r3 #2)
+    from strive_tpu.maps import crop_kernel
+
+    assert crop_kernel.footprint_supported(store.min_dx_m, store.packed.shape)
+
+
 def test_footprint_kernel_matches_xla(store):
     """Footprint-grid occupancy lookup (env-coll loss hot path): the
     one-hot kernel path of get_coll_point is bit-exact vs the XLA gather,
     including off-map cars, map-edge footprints, and oversize trucks."""
     from strive_tpu.maps.queries import get_coll_point
 
+    _assert_footprint_routed(store)
     rng = np.random.default_rng(7)
     P = 256
     x = rng.uniform(-50, 560, P)
@@ -156,6 +166,7 @@ def test_footprint_kernel_grad_context(store):
     reference adv_gen_nusc.py:366-403)."""
     from strive_tpu.losses.penalties import env_coll_penalties, masked_mean
 
+    _assert_footprint_routed(store)
     rng = np.random.default_rng(8)
     B, NA, T = 2, 4, 6
     traj = jnp.asarray(rng.uniform(100, 400, (B, NA, T, 4)).astype(np.float32))
@@ -175,3 +186,41 @@ def test_footprint_kernel_grad_context(store):
     g_ker = jax.jit(jax.grad(lambda tr: loss(tr, store.packed,
                                              store.min_dx_m)))(traj)
     np.testing.assert_array_equal(np.asarray(g_ker), np.asarray(g_ref))
+
+
+@pytest.mark.parametrize("P,lw_hi,unit_h,size_px", [
+    (48, 6.0, False, 2048),   # the r3 mis-gather shape: |h|~300 blows the
+                              # static window -> exact XLA fallback (G=8)
+    (27, 6.0, True, 2048),    # G=1 odd car count, kernel path
+    (36, 18.0, True, 600),    # G=4, padded store, large trucks
+    (6, 45.0, True, 2048),    # G=2, footprint diag > MAX -> fallback
+    (64, 6.0, True, 600),     # G=8, padded store, kernel path
+])
+def test_footprint_kernel_randomized_sweep(P, lw_hi, unit_h, size_px, rng):
+    """Exactness sweep over (P -> G grouping, lw incl. window-overflowing
+    sizes, padded/unpadded stores, non-unit headings). The kernel must be
+    bit-exact vs the XLA path on EVERY input — window-overflowing batches
+    take the runtime lax.cond fallback (VERDICT r3 item 1)."""
+    from strive_tpu.maps.queries import get_coll_point
+
+    st = synthetic_map_store(num_maps=2, size_px=size_px, channels=3, seed=11)
+    _assert_footprint_routed(st)
+    extent = size_px * st.min_dx_m
+    x = rng.uniform(-0.1 * extent, 1.1 * extent, (P, 2))
+    if unit_h:
+        th = rng.uniform(0, 2 * np.pi, P)
+        h = np.stack([np.cos(th), np.sin(th)], 1)
+    else:
+        h = rng.uniform(100, 400, (P, 2))
+    cars = jnp.asarray(np.concatenate([x, h], 1).astype(np.float32))
+    lw = jnp.asarray(np.stack([rng.uniform(3, lw_hi, P),
+                               rng.uniform(1.5, 3, P)], 1).astype(np.float32))
+    mapix = jnp.asarray(rng.integers(0, 2, P).astype(np.int32))
+    drv = st.drivable()
+
+    ref = jax.jit(lambda c: get_coll_point(drv, st.dx, c, lw, mapix))(cars)
+    got = jax.jit(lambda c: get_coll_point(
+        drv, st.dx, c, lw, mapix, packed=st.packed,
+        min_dx=st.min_dx_m))(cars)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
