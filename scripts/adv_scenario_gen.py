@@ -30,6 +30,7 @@ from strive_tpu.optim import (
     compute_adv_gen_success,
     compute_sol_success,
     determine_feasibility,
+    restrict_attackers_to_category,
     run_adv_gen_optim,
     run_find_solution_optim,
     run_init_optim,
@@ -133,7 +134,8 @@ def main(argv=None):
     ds, store, lane_graphs, state_norm, att_norm = load_environment(
         cfg, cfg.split, load_lanegraph=need_lanes
     )
-    nc = len(cfg.agent_types)
+    from strive_tpu.normalize import effective_categories
+    nc = len(effective_categories(cfg.agent_types, cfg.reduce_cats))
     model = build_model(cfg, state_norm, att_norm, nc)
     dt = 0.5
 
@@ -238,11 +240,12 @@ def main(argv=None):
             )
             if cfg.adv_attack_with is not None:
                 # restrict candidate attackers to one category (reference
-                # adv_scenario_gen.py:209-219)
-                cats = sorted(cfg.agent_types)
-                ci = cats.index(cfg.adv_attack_with)
-                is_cat = np.asarray(scene.sem[0, 1:, ci]) > 0.5
-                feas = jnp.asarray(np.asarray(feas) & is_cat)
+                # adv_scenario_gen.py:209-219); sem one-hots index the
+                # EFFECTIVE (possibly reduced) category set
+                feas = restrict_attackers_to_category(
+                    feas, scene.sem[0],
+                    effective_categories(cfg.agent_types, cfg.reduce_cats),
+                    cfg.adv_attack_with)
             n_feas = int(np.asarray(feas).sum())
             if int(scene.num_agents()[0]) <= 1 or n_feas == 0:
                 Logger.log(f"scene {di}: infeasible, skip")

@@ -73,7 +73,8 @@ def main(argv=None):
     dt = 0.5
 
     ds, store, _, state_norm, att_norm = load_environment(cfg, cfg.split)
-    nc = len(cfg.agent_types)
+    from strive_tpu.normalize import effective_categories
+    nc = len(effective_categories(cfg.agent_types, cfg.reduce_cats))
     model = build_model(cfg, state_norm, att_norm, nc)
     key = jax.random.PRNGKey(0)
     params = model.init(key, ds.get_batch([0]), store, key, method="forward")

@@ -79,7 +79,8 @@ def main(argv=None):
 
     train_ds, store, _, state_norm, att_norm = load_environment(cfg, "train")
     val_ds, _, _, _, _ = load_environment(cfg, "val")
-    nc = len(cfg.agent_types)
+    from strive_tpu.normalize import effective_categories
+    nc = len(effective_categories(cfg.agent_types, cfg.reduce_cats))
     model = build_model(cfg, state_norm, att_norm, nc)
 
     key = jax.random.PRNGKey(0)

@@ -16,7 +16,8 @@ import numpy as np
 
 from ..maps.lanegraph import synthetic_lanegraph
 from ..maps.store import MapStore, synthetic_map_store, upsample_store
-from ..normalize import att_normalizer_for, state_normalizer_for
+from ..normalize import (att_normalizer_for, effective_categories,
+                         state_normalizer_for)
 from .dataset import SceneDataset
 from .synthetic import synthetic_scene_list
 
@@ -42,10 +43,11 @@ def load_environment(cfg, split="train", load_lanegraph=False,
         Synthetic maps are regenerated at that resolution; ETL rasters are
         integer-upsampled (nearest) since re-rasterization needs the devkit.
     """
-    cats = tuple(sorted(cfg.agent_types))
+    cats = effective_categories(cfg.agent_types,
+                                getattr(cfg, "reduce_cats", False))
     state_norm = state_normalizer_for(cats)
     att_norm = att_normalizer_for(cats)
-    nc = len(cfg.agent_types)
+    nc = len(cats)
 
     if cfg.data_version == "synthetic":
         seed = {"train": 0, "val": 1, "test": 2}.get(split, 3)

@@ -36,19 +36,34 @@ def synthetic_scene_list(num_scenes=8, num_maps=2, map_size_px=512,
     state_norm = state_normalizer_for(categories)
     att_norm = att_normalizer_for(categories)
     extent_m = map_size_px / pix_per_m
+    # per-category footprint + speed profiles so multi-category runs
+    # (all-cats / cyclist-attacker configs) see realistic geometry;
+    # unknown categories fall back to car-like
+    cat_prof = {
+        "car": ((4.2, 5.5), (1.8, 2.2), 10.0),
+        "truck": ((6.0, 10.0), (2.2, 2.9), 9.0),
+        "motorcycle": ((1.8, 2.4), (0.6, 0.9), 10.0),
+        "cyclist": ((1.5, 2.0), (0.5, 0.8), 6.0),
+        "pedestrian": ((0.5, 1.0), (0.5, 1.0), 2.0),
+    }
+    cats = list(categories)[:NC] + ["car"] * max(0, NC - len(categories))
     scenes = []
     for i in range(num_scenes):
         na = int(rng.integers(min_agents, max_agents + 1))
         past = np.zeros((na, PT, 6), np.float32)
         fut = np.zeros((na, FT, 6), np.float32)
-        lw = np.stack(
-            [rng.uniform(4.2, 5.5, na), rng.uniform(1.8, 2.2, na)], -1
-        ).astype(np.float32)
+        cat_ix = rng.integers(0, NC, na)
+        if "car" in cats:
+            cat_ix[0] = cats.index("car")  # ego (agent 0) is the ego CAR
+        lw = np.zeros((na, 2), np.float32)
         for a in range(na):
+            (l_lo, l_hi), (w_lo, w_hi), smax = cat_prof.get(
+                cats[cat_ix[a]], cat_prof["car"])
+            lw[a] = (rng.uniform(l_lo, l_hi), rng.uniform(w_lo, w_hi))
             x0 = rng.uniform(0.3, 0.7) * extent_m
             y0 = rng.uniform(0.3, 0.7) * extent_m
             h0 = rng.uniform(-np.pi, np.pi)
-            s0 = rng.uniform(0.0, 10.0)
+            s0 = rng.uniform(0.0, smax)
             a_prof = rng.normal(0.3, 0.8, PT + FT)
             ddh_prof = rng.normal(0.0, 0.05, PT + FT)
             traj = _simulate_bicycle(x0, y0, h0, s0, a_prof, ddh_prof,
@@ -56,7 +71,7 @@ def synthetic_scene_list(num_scenes=8, num_maps=2, map_size_px=512,
             past[a] = traj[:PT]
             fut[a] = traj[PT:]
         sem = np.zeros((na, NC), np.float32)
-        sem[np.arange(na), rng.integers(0, NC, na)] = 1.0
+        sem[np.arange(na), cat_ix] = 1.0
         past_n = np.asarray(state_norm.normalize(past))
         fut_n = np.asarray(state_norm.normalize(fut))
         scenes.append({

@@ -72,3 +72,24 @@ def determine_feasibility(samples, mask, state_norm, feasibility_thresh,
 
     feasible = feasible & mask[1:]
     return feasible, feasible_t, feasible_dist
+
+
+def restrict_attackers_to_category(feasible, sem, categories, category):
+    """Keep only feasible candidates of one semantic category.
+
+    Reference ``adv_scenario_gen.py:209-219`` (``--adv_attack_with``): the
+    restriction gates FEASIBILITY (which seeds enter the batch) only — the
+    adversarial softmin itself stays unrestricted, exactly like the
+    reference.
+
+    :param feasible: (NA-1,) bool over non-ego agents (slot 0 = ego)
+    :param sem: (NA, NC) one-hot semantics incl. the ego row
+    :param categories: ordered category names indexing sem's columns
+        (the EFFECTIVE set — post ``reduce_cats``)
+    :param category: name that may attack (e.g. 'cyclist')
+    """
+    import numpy as np
+
+    ci = list(categories).index(category)
+    is_cat = np.asarray(sem[1:, ci]) > 0.5
+    return jnp.asarray(np.asarray(feasible) & is_cat)
