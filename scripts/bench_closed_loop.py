@@ -73,8 +73,8 @@ def main():
             tp.reset(init_state, lw_un, mask_np, np.asarray(scene.map_idx))
             pfn = tp.make_fused_fn(state_norm, dt, FT)
             pstate = tp.state
-            # chunked keeps the device planner as its OWN compiled program
-            # (fast gathers); fused inlines it (scalar gathers, PERF.md r3)
+            # fused inlines the device planner into ONE compiled loop —
+            # fastest since the r3 gather purge (PERF.md r4)
             clm = "fused" if mode == "tpu-fused" else "chunked"
         else:
             planner = RulePlanner(lane_graphs, store.map_names, pc)

@@ -34,11 +34,12 @@ mechanisms:
 - 'fused': ``planner_rollout_fn`` is PURE JAX (the phase-B device planner,
   ``planners/tpu_planner.py``) and traces straight into the loop — the
   whole closed-loop optimization compiles to one program with ZERO host
-  hops. CAVEAT (measured r3, PERF.md): this toolchain lowers gathers whose
-  operands are not jit ENTRY parameters to a ~0.11 G elem/s scalar path,
-  so the planner's table gathers run ~1000x slower inlined (471 ms) than
-  as their own program (0.4 ms). Until that is rewritten gather-free,
-  'chunked' + device planner is the fast closed loop.
+  hops. The r2 caveat (gathers whose operands are not jit entry
+  parameters lower ~1000x slower inlined) no longer applies: the r3
+  gather purge made the planner one-hot/row-read only, and fused is now
+  the FASTEST closed loop (15.7 vs 12.8 it/s chunked at B=4 x NA=8,
+  PERF.md r4). HBM bound still applies: keep B x others_chunk well
+  under 64 in fused mode (B=4 x 16 measured fatal, CLAUDE.md).
 """
 
 from __future__ import annotations

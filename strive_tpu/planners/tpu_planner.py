@@ -85,7 +85,7 @@ class LaneTables(NamedTuple):
     chain0_f: jnp.ndarray  # (E, K+1) vertices of the fwd branch-0 walk
     fork_f: jnp.ndarray    # (E,) first fwd fork step (K+1 = none)
     forke_f: jnp.ndarray   # (E,) edge id at that fork
-    chain0_b: jnp.ndarray  # (E, K+1) vertices of the bwd branch-0 walk
+    chain0_b: jnp.ndarray  # (E, KB+1) vertices of the bwd branch-0 walk
     fork_b: jnp.ndarray    # (E,) first bwd fork step
     forke_b: jnp.ndarray   # (E,) edge id at that fork
     chainc_f: jnp.ndarray  # (E, 4, K+1) fwd walk per branch code (host-built)
@@ -98,7 +98,7 @@ class LaneTables(NamedTuple):
     # assembled once at table-build time (PERF.md r3).
     chainxy_f: jnp.ndarray   # (E, 4, K+1, 2) fwd polyline per branch code
     chain0xy_f: jnp.ndarray  # (E, K+1, 2) fwd branch-0 polyline
-    chain0xy_b: jnp.ndarray  # (E, K+1, 2) bwd branch-0 polyline
+    chain0xy_b: jnp.ndarray  # (E, KB+1, 2) bwd branch-0 polyline
 
 
 def _host_chain0(E, table, deg, endv, K):
@@ -207,8 +207,16 @@ def _host_extend_xy(chain_v, edges, vxy, edge_ids, forward):
     return np.where(valid[..., None], xy, extrap).astype(np.float32)
 
 
-def build_lane_tables(lg, S=None, K=128) -> LaneTables:
-    """Host-side: lane-graph dict -> padded edge-adjacency tables."""
+def build_lane_tables(lg, S=None, K=128, KB=32) -> LaneTables:
+    """Host-side: lane-graph dict -> padded edge-adjacency tables.
+
+    :param K: forward walk length (edges); must cover ``cfg.horizon``
+        at ~1 m lane discretization.
+    :param KB: BACKWARD walk length. The backward polyline only feeds the
+        warp grid's ``cfg.NBB`` backward knots (~16 m) plus match slack —
+        walking the full K edges backward made the route polyline (and
+        with it every spline-build interp matmul) ~60% dead rows
+        (PERF.md r4)."""
     edges = np.asarray(lg["edges"], np.float32)
     ixes = np.asarray(lg["edgeixes"], np.int64)
     E = len(edges)
@@ -228,7 +236,7 @@ def build_lane_tables(lg, S=None, K=128) -> LaneTables:
     succ_deg = np.asarray([min(len(s), S) for s in succ], np.int64)
     pred_deg = np.asarray([min(len(p), S) for p in pred], np.int64)
     cf, ff, fef = _host_chain0(E, succ_np, succ_deg, ixes[:, 1], K)
-    cb, fb, feb = _host_chain0(E, pred_np, pred_deg, ixes[:, 0], K)
+    cb, fb, feb = _host_chain0(E, pred_np, pred_deg, ixes[:, 0], KB)
     ccf, dcf = _host_chainc(cf, ff, fef, succ_np, succ_deg, _BRANCH_CODES)
     vxy_np = np.asarray(lg["xy"], np.float32)
     eid = np.arange(E)
@@ -352,7 +360,8 @@ class StaticPlanCfg(NamedTuple):
     # fixed-shape bounds
     MC: int = 3            # cluster slots per agent
     NBR: int = 4           # forward branch codes per cluster
-    KWALK: int = 128       # max edges walked per chain direction
+    KWALK: int = 128       # max edges walked FORWARD per chain (the
+    #                        backward walk is build_lane_tables' KB=32)
     dedupe_r: float = 2.0  # spatial cluster-dedupe radius (m)
     others_chunk: int = 8  # plan-step chunking of the others phase
 
@@ -378,12 +387,27 @@ class StaticPlanCfg(NamedTuple):
 
     @property
     def horizon(self):
-        """Worst-case route distance each way (reference :367-377 bounds)."""
+        """Worst-case route distance FORWARD (reference :367-377 bounds)."""
         return 1.0 + self.smax * self.tmax + SBUFFER + self.xydistmax
 
     @property
-    def NB(self):
+    def NBF(self):
+        """Forward warp-grid knots: must cover the worst-case speed-profile
+        reach (``smax * tmax``) since profile distances query the spline."""
         return int(self.horizon / LANE_DS) + 2
+
+    @property
+    def NBB(self):
+        """Backward warp-grid knots. Every spline query is a distance
+        >= 0 (speed profiles, prediction fans, the ego step) — the grid is
+        centered at the route-closest point to the pose — so backward
+        knots only have to cover (a) the Gaussian pose-warp's influence
+        (4 sigma) and (b) the match slack ``xydistmax``. The reference
+        sizes its grid per-agent from speed (:477-556); the r3 TPU port
+        used the symmetric worst case (415 knots at production configs),
+        which paid ~2x in every spline-interp matmul for knots that were
+        never read (PERF.md r4)."""
+        return int((self.xydistmax + 4.0 * LANE_SIG) / LANE_DS) + 2
 
     @property
     def NPROF(self):
@@ -488,13 +512,16 @@ def _interp_cols(tq, t, vals):
     cols = jnp.arange(P)[None, :]
     oh0 = (i[:, None] == cols).astype(vals.dtype)
     oh1 = (i[:, None] + 1 == cols).astype(vals.dtype)
-    tv = jnp.concatenate([t[:, None], vals], axis=1)        # (P, 1 + C)
-    a = jnp.dot(oh0, tv, precision=jax.lax.Precision.HIGHEST)
-    b = jnp.dot(oh1, tv, precision=jax.lax.Precision.HIGHEST)
-    t0, t1 = a[:, 0], b[:, 0]
+    # knot TIMES via masked sums (exact one-hot reads, pure VPU); knot
+    # VALUES via ONE combined-weight matmul (Q, P) @ (P, C) — the previous
+    # two-matmul form (a/b rows then a + w (b - a)) did ~2.2x the MXU work
+    # per interp call (PERF.md r4)
+    t0 = jnp.sum(oh0 * t[None, :], axis=1)
+    t1 = jnp.sum(oh1 * t[None, :], axis=1)
     w = jnp.where(t1 > t0, (tq - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0)
     w = jnp.clip(w, 0.0, 1.0)
-    return a[:, 1:] + w[:, None] * (b[:, 1:] - a[:, 1:])
+    W = oh0 + w[:, None] * (oh1 - oh0)
+    return jnp.dot(W, vals, precision=jax.lax.Precision.HIGHEST)
 
 
 def _route_spline(xys, ix0, pose, cfg: StaticPlanCfg):
@@ -547,9 +574,10 @@ def _route_spline(xys, ix0, pose, cfg: StaticPlanCfg):
     t = jnp.concatenate([jnp.zeros(1), t_partial])
     t = t - t_cix - jnp.linalg.norm(cclose - xys_cix)
 
-    # static warp grid at lane_ds spacing, 0 at the route-closest point
-    NB = cfg.NB
-    tg = (jnp.arange(2 * NB + 1, dtype=jnp.float32) - NB) * LANE_DS
+    # static ASYMMETRIC warp grid at lane_ds spacing, 0 at the
+    # route-closest point (cfg.NBB docstring: queries are all >= 0)
+    NBB, NBF = cfg.NBB, cfg.NBF
+    tg = (jnp.arange(NBB + NBF + 1, dtype=jnp.float32) - NBB) * LANE_DS
     pts = _interp_cols(tg, t, xys)
     # Gaussian warp through the agent pose (reference :543-549)
     pts = pts + (egoxy - cclose)[None] * jnp.exp(
@@ -560,9 +588,9 @@ def _route_spline(xys, ix0, pose, cfg: StaticPlanCfg):
     l2 = jnp.maximum(jnp.linalg.norm(d2, axis=1), 1e-9)
     h2 = d2 / l2[:, None]
     h2 = jnp.concatenate([h2, h2[-1:]])
-    h2 = h2.at[NB].set(jnp.array([jnp.cos(h), jnp.sin(h)]))
+    h2 = h2.at[NBB].set(jnp.array([jnp.cos(h), jnp.sin(h)]))
     t2 = jnp.concatenate([jnp.zeros(1), jnp.cumsum(l2)])
-    t2 = t2 - t2[NB]
+    t2 = t2 - t2[NBB]
     vals = jnp.concatenate([pts, h2], axis=1)
     return t2, vals
 
@@ -570,11 +598,11 @@ def _route_spline(xys, ix0, pose, cfg: StaticPlanCfg):
 def _const_heading_spline(pose, cfg: StaticPlanCfg):
     """Fallback when an agent matches no lane (reference :477-485)."""
     x, y, h = pose
-    NB = cfg.NB
-    tg = (jnp.arange(2 * NB + 1, dtype=jnp.float32) - NB) * LANE_DS
+    NBB, NBF = cfg.NBB, cfg.NBF
+    tg = (jnp.arange(NBB + NBF + 1, dtype=jnp.float32) - NBB) * LANE_DS
     c, s = jnp.cos(h), jnp.sin(h)
     pts = jnp.stack([x + tg * c, y + tg * s], -1)
-    hh = jnp.broadcast_to(jnp.array([c, s]), (2 * NB + 1, 2))
+    hh = jnp.broadcast_to(jnp.array([c, s]), (NBB + NBF + 1, 2))
     return tg, jnp.concatenate([pts, hh], axis=1)
 
 
@@ -589,11 +617,12 @@ def _agent_splines(pose, tab: LaneTables, cfg: StaticPlanCfg, mid):
 
     def one(rep):
         bwd = _walk0(tab, rep, False)[::-1]  # ci-invariant: hoisted
+        kb = bwd.shape[0] - 1  # matched edge = segment kb of the polyline
 
         def per_code(ci):
             fwd, fw_distinct = _walk_coded(tab, rep, ci)
             xys = jnp.concatenate([bwd, fwd], axis=0)
-            t2, vals = _route_spline(xys, cfg.KWALK, pose, cfg)
+            t2, vals = _route_spline(xys, kb, pose, cfg)
             return t2, vals, fw_distinct
 
         return jax.vmap(per_code)(jnp.arange(cfg.NBR))
@@ -632,30 +661,37 @@ def _sprof2dists(prof, preddt):
 
 def _gen_sprofiles(s0, cfg: StaticPlanCfg):
     """(NPROF, nsteps+1) profiles + dists + (s1, acc) (reference
-    gen_sprofiles :804-826)."""
+    gen_sprofiles :804-826). Vectorized over the (fac, s1, s2) grid: the
+    r3 unrolled triple loop emitted ~6 tiny ops per profile inside the
+    SEQUENTIAL ego scan (31 steps x NPROF profiles of per-op dispatch
+    latency, PERF.md r4). Profile order (fac-major, then s1, then s2)
+    matches the loop form exactly."""
     n1 = cfg.nsteps // 2
     n2 = cfg.nsteps - n1
     NS = cfg.plannspeeds
-    profs, dists, s1s, accs = [], [], [], []
-    for fac in cfg.planaccfacs:
-        acc = fac * cfg.accmax
-        top = jnp.minimum(cfg.smax, s0 + n1 * cfg.preddt * acc)
-        bot = jnp.maximum(0.0, s0 - n1 * cfg.preddt * acc)
-        for i in range(NS):
-            s1 = bot + (top - bot) * (i / max(NS - 1, 1))
-            p1 = _speed_profile(s0, s1, acc, n1, cfg.preddt)
-            top2 = jnp.minimum(cfg.smax, p1[-1] + n2 * cfg.preddt * acc)
-            bot2 = jnp.maximum(0.0, p1[-1] - n2 * cfg.preddt * acc)
-            for j in range(NS):
-                s2 = bot2 + (top2 - bot2) * (j / max(NS - 1, 1))
-                p2 = _speed_profile(p1[-1], s2, acc, n2, cfg.preddt)
-                prof = jnp.concatenate([p1, p2[1:]])
-                profs.append(prof)
-                dists.append(_sprof2dists(prof, cfg.preddt))
-                s1s.append(s1)
-                accs.append(acc)
-    return (jnp.stack(profs), jnp.stack(dists), jnp.stack(s1s),
-            jnp.stack(accs))
+    facs = jnp.asarray(cfg.planaccfacs, jnp.float32)
+    acc_f = facs * cfg.accmax                               # (F,)
+    top = jnp.minimum(cfg.smax, s0 + n1 * cfg.preddt * acc_f)
+    bot = jnp.maximum(0.0, s0 - n1 * cfg.preddt * acc_f)
+    frac = jnp.arange(NS, dtype=jnp.float32) / max(NS - 1, 1)
+    s1 = (bot[:, None] + (top - bot)[:, None] * frac[None]).reshape(-1)
+    acc1 = jnp.repeat(acc_f, NS)                            # (F*NS,)
+    p1 = jax.vmap(lambda ss, aa: _speed_profile(s0, ss, aa, n1,
+                                                cfg.preddt))(s1, acc1)
+    end1 = p1[:, -1]                                        # (F*NS,)
+    top2 = jnp.minimum(cfg.smax, end1 + n2 * cfg.preddt * acc1)
+    bot2 = jnp.maximum(0.0, end1 - n2 * cfg.preddt * acc1)
+    s2 = bot2[:, None] + (top2 - bot2)[:, None] * frac[None]  # (F*NS, NS)
+    p2 = jax.vmap(jax.vmap(
+        _speed_profile, in_axes=(None, 0, None, None, None)),
+        in_axes=(0, 0, 0, None, None))(end1, s2, acc1, n2, cfg.preddt)
+    profs = jnp.concatenate(
+        [jnp.broadcast_to(p1[:, None], p1.shape[:1] + (NS, n1 + 1)),
+         p2[:, :, 1:]], axis=-1).reshape(-1, cfg.nsteps + 1)
+    dists = jax.vmap(lambda p: _sprof2dists(p, cfg.preddt))(profs)
+    s1s = jnp.repeat(s1, NS)
+    accs = jnp.repeat(acc1, NS)
+    return profs, dists, s1s, accs
 
 
 def _boxes2circles(b):
@@ -691,7 +727,7 @@ def _ego_spline(pose, tab: LaneTables, cfg: StaticPlanCfg, mid):
     fwd = _walk0(tab, rep, True)
     bwd = _walk0(tab, rep, False)
     xys = jnp.concatenate([bwd[::-1], fwd], axis=0)
-    t2, vals = _route_spline(xys, cfg.KWALK, pose, cfg)
+    t2, vals = _route_spline(xys, bwd.shape[0] - 1, pose, cfg)
     tc, vc = _const_heading_spline(pose, cfg)
     t2 = jnp.where(has, t2, tc)
     vals = jnp.where(has, vals, vc)
@@ -707,7 +743,9 @@ def _others_step_data(state, alive, lw, tab, cfg: StaticPlanCfg, mid):
     in the sequential scan (the r2 planner spent ~96 ms re-deriving all
     NA agents' splines serially per step, PERF.md r3).
 
-    :param state: (NA, 4) x, y, h, s at this plan step
+    :param state: (NA-1, 4) x, y, h, s of the NON-ego agents at this plan
+        step (the r3 version derived the ego row's fan too and masked it
+        out at scoring — 1/NA of the whole others phase wasted)
     :return: (ocirc (T1, K, 5, 3), ovalid0 (K,) = alive & spline-valid)
     """
     NA = state.shape[0]
@@ -752,43 +790,47 @@ def _plan_step_ego(ego, lw0, opos, ocirc, ovalid0, tab,
     compute_splines + compute_action, ``:224-246, 724-857``).
 
     :param ego: (4,) x, y, h, s; lw0: (2,)
-    :param opos: (NA, 2) other agents' positions at this step
+    :param opos: (NA-1, 2) NON-ego agents' positions at this step
     :param ocirc/ovalid0: from :func:`_others_step_data`
     :return: (newx, newy, newh, stgt)
     """
     x0, y0, h0, s0 = ego[0], ego[1], ego[2], ego[3]
     t2e, valse, has_match = _ego_spline((x0, y0, h0), tab, cfg, mid)
 
-    NA = opos.shape[0]
-    CN = ovalid0.shape[0] // NA
-    near = jnp.hypot(opos[:, 0] - x0, opos[:, 1] - y0) < cfg.interacdist
-    near = near.at[0].set(False)
-    ovalid = ovalid0 & jnp.repeat(near, CN)
+    NO = opos.shape[0]
     T1 = cfg.nsteps + 1
 
     # --- ego candidate profiles + scoring (reference :724-801) ------------
     profs, pdists, s1s, accs = _gen_sprofiles(s0, cfg)  # (NP, T1)
     NP = profs.shape[0]
-    elocs = jax.vmap(lambda te: _interp_cols(te, t2e, valse))(pdists)
-    ehead = jnp.arctan2(elocs[..., 3], elocs[..., 2])
-    ebox = jnp.concatenate([
-        elocs[..., :2], ehead[..., None],
-        jnp.broadcast_to(lw0, (NP, T1, 2))], axis=-1)  # (NP, T1, 5)
+    if NO > 0:
+        CN = ovalid0.shape[0] // NO
+        near = jnp.hypot(opos[:, 0] - x0, opos[:, 1] - y0) < cfg.interacdist
+        ovalid = ovalid0 & jnp.repeat(near, CN)
+        elocs = jax.vmap(lambda te: _interp_cols(te, t2e, valse))(pdists)
+        ehead = jnp.arctan2(elocs[..., 3], elocs[..., 2])
+        ebox = jnp.concatenate([
+            elocs[..., :2], ehead[..., None],
+            jnp.broadcast_to(lw0, (NP, T1, 2))], axis=-1)  # (NP, T1, 5)
 
-    ecirc = _boxes2circles(ebox)                     # (NP, T1, 5, 3)
-    d = (jnp.linalg.norm(
-        ecirc[:, :, None, :, None, :2] - ocirc[None, :, :, None, :, :2],
-        axis=-1)
-        - ecirc[:, :, None, :, None, 2] - ocirc[None, :, :, None, :, 2])
-    d = jnp.min(d, axis=(3, 4))                      # (NP, T1, K)
-    d = jnp.where(ovalid[None, None, :], d, BIG)
-    d = jnp.min(d, axis=2)                           # (NP, T1)
-    w = cfg.score_wmin + jnp.arange(T1) * cfg.score_wfac
-    pr = 1.0 + jnp.tanh(-d * w[None])
-    pr = jnp.where(d < 0, 1.0, pr)
-    pcol = 1.0 - jnp.prod(1.0 - pr, axis=1)          # (NP,)
-    any_other = jnp.any(ovalid)
-    pcol = jnp.where(any_other, pcol, 0.0)
+        ecirc = _boxes2circles(ebox)                     # (NP, T1, 5, 3)
+        d = (jnp.linalg.norm(
+            ecirc[:, :, None, :, None, :2] - ocirc[None, :, :, None, :, :2],
+            axis=-1)
+            - ecirc[:, :, None, :, None, 2] - ocirc[None, :, :, None, :, 2])
+        d = jnp.min(d, axis=(3, 4))                      # (NP, T1, K)
+        d = jnp.where(ovalid[None, None, :], d, BIG)
+        d = jnp.min(d, axis=2)                           # (NP, T1)
+        w = cfg.score_wmin + jnp.arange(T1) * cfg.score_wfac
+        pr = 1.0 + jnp.tanh(-d * w[None])
+        pr = jnp.where(d < 0, 1.0, pr)
+        pcol = 1.0 - jnp.prod(1.0 - pr, axis=1)          # (NP,)
+        any_other = jnp.any(ovalid)
+        pcol = jnp.where(any_other, pcol, 0.0)
+    else:
+        # ego-only scene (static shape): nothing to collide with
+        pcol = jnp.zeros((NP,), profs.dtype)
+        any_other = jnp.array(False)
 
     # selection (reference choose_profile / plot_plan_info :768-801)
     reach = pdists[:, -1]
@@ -884,9 +926,19 @@ def plan_rollout(tab: LaneTables, cfg: StaticPlanCfg, init_state, lw,
     # VPU while bounding transients. cfg.others_chunk is sized by the
     # caller so B x chunk stays bounded (16-step chunks at B<=4 measured
     # 10 ms faster than 8-step; no further gain at 31, PERF.md r3).
-    ocirc_all, ovalid_all = jax.lax.map(
-        lambda sa: _others_step_data(sa[0], sa[1], lw, tab, cfg, mid),
-        (state_all, alive_all), batch_size=cfg.others_chunk)
+    # ego row excluded: its fan was never scored (_plan_step_ego zeroes it)
+    if NA > 1:
+        ocirc_all, ovalid_all = jax.lax.map(
+            lambda sa: _others_step_data(sa[0], sa[1], lw[1:], tab, cfg,
+                                         mid),
+            (state_all[:, 1:], alive_all[:, 1:]),
+            batch_size=cfg.others_chunk)
+    else:
+        # ego-only scene: zero-size others axes (lax.map's batching and
+        # empty min-reductions both reject zero-size inputs)
+        T_all = state_all.shape[0]
+        ocirc_all = jnp.zeros((T_all, 0, 5, 3), state_all.dtype)
+        ovalid_all = jnp.zeros((T_all, 0), bool)
 
     def step(ego, inp):
         opos, oc, ov = inp
@@ -898,7 +950,7 @@ def plan_rollout(tab: LaneTables, cfg: StaticPlanCfg, init_state, lw,
     # first action planned from t=0 (reference records the first planned
     # control before the loop, :238-246), then one per dt step
     _, outs = jax.lax.scan(
-        step, init_state[0], (state_all[:, :, :2], ocirc_all, ovalid_all))
+        step, init_state[0], (state_all[:, 1:, :2], ocirc_all, ovalid_all))
     return outs
 
 
