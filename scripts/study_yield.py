@@ -1,19 +1,15 @@
 """Adversarial-yield study (VERDICT r3 item 6).
 
-The reference pipeline's purpose is a high-yield generator of solvable
-accident scenarios (`/root/reference/src/adv_scenario_gen.py:469-476`);
-yield (adv/sol successes per feasible candidate) is a first-class quality
-metric. This study runs the flagship pipeline on FIXED scenes + seeds
-(synthetic data is split-seeded; model PRNG is PRNGKey(0)) while sweeping
-the optimization budget, learning rate, and open- vs closed-loop planner,
-and reports the success-rate curve — distinguishing an optimization-budget
-artifact from a config ceiling or a loss/planner bug.
-
-Usage:
-    python scripts/study_yield.py --cfg configs/adv_gen_synth_hc_prod.cfg \
-        --out out/yield_study \
-        --sweep 200:0.05:hardcode 400:0.05:hardcode 800:0.05:hardcode \
-                200:0.1:hardcode 200:0.05:ego
+The reference's purpose is a high-yield accident-scenario generator
+(`/root/reference/src/adv_scenario_gen.py:469-476`); yield =
+adv_success / feasible is a first-class quality metric. This study runs
+the SAME candidate scenes (synthetic dataset is seeded, seed=0) through
+the flagship pipeline while sweeping the optimization budget
+(`--num_iters`), learning rate (`--lr`), and open- vs closed-loop
+planner (`--planner ego` replay vs `--planner hardcode`; reference
+budgets: 200 iters rule-based / 300 replay, lr 0.05 —
+`configs/adv_gen_rule_based.cfg:27-28`, `configs/adv_gen_replay.cfg:26-27`),
+and reports the success-rate curve.
 
 Writes a markdown table to stdout and yield_study.json under --out.
 """
@@ -32,10 +28,9 @@ SUMMARY_KEYS = ("candidates", "feasible", "adv_success", "sol_success",
                 "planner_precollide")
 
 
-def run_one(cfg, out_dir, num_iters, lr, planner, extra):
+def run_point(name, out_dir, cfg, flags):
     cmd = [sys.executable, os.path.join(REPO, "scripts/adv_scenario_gen.py"),
-           "-c", cfg, "--out", out_dir, "--num_iters", str(num_iters),
-           "--lr", str(lr), "--planner", planner] + extra
+           "-c", cfg, "--out", out_dir] + flags
     env = dict(os.environ,
                JAX_COMPILATION_CACHE_DIR=os.environ.get(
                    "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
@@ -44,21 +39,19 @@ def run_one(cfg, out_dir, num_iters, lr, planner, extra):
     wall = time.time() - t0
     if r.returncode != 0:
         sys.stderr.write(r.stdout[-3000:] + r.stderr[-3000:])
-        raise RuntimeError(f"pipeline iters={num_iters} lr={lr} "
-                           f"planner={planner} failed")
-    return r.stdout, wall
+        raise RuntimeError(f"pipeline point {name} failed")
+    return parse_summary(r.stdout), wall
 
 
 def parse_summary(stdout):
     out = {}
     for k in SUMMARY_KEYS:
         m = re.search(rf"^{k} = (\d+)", stdout, re.M)
-        out[k] = int(m.group(1)) if m else None
-    m = re.search(r"total time: ([\d.]+) sec \(([\d.]+) scenarios/hour\)",
-                  stdout)
+        if m:
+            out[k] = int(m.group(1))
+    m = re.search(r"total time: ([\d.]+) sec", stdout)
     if m:
-        out["total_time_s"] = float(m.group(1))
-        out["scenarios_per_hour"] = float(m.group(2))
+        out["pipeline_sec"] = float(m.group(1))
     return out
 
 
@@ -66,42 +59,46 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg", default=os.path.join(
         REPO, "configs/adv_gen_synth_hc_prod.cfg"))
-    ap.add_argument("--sweep", nargs="+", required=True,
-                    help="list of iters:lr:planner points, e.g. "
-                         "200:0.05:hardcode 800:0.05:hardcode 200:0.05:ego")
     ap.add_argument("--out", default="out/yield_study")
-    ap.add_argument("--extra", nargs=argparse.REMAINDER, default=[],
-                    help="extra flags forwarded to adv_scenario_gen")
+    ap.add_argument("--max_scenes", type=int, default=None,
+                    help="bound candidate count per point (fixed seed keeps "
+                         "the scene set identical across points)")
+    ap.add_argument("--points", nargs="+", default=[
+        "closed_it200:",
+        "closed_it400:--num_iters 400",
+        "closed_it800:--num_iters 800",
+        "closed_lr010:--lr 0.1",
+        "open_it200:--planner ego",
+        "open_it400:--planner ego --num_iters 400",
+    ], help="name:space-separated-extra-flags")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
-    rows = []
-    for point in args.sweep:
-        it_s, lr_s, planner = point.split(":")
-        tag = f"it{it_s}_lr{lr_s}_{planner}"
-        od = os.path.join(args.out, tag)
-        print(f"[yield] running {tag} ...", flush=True)
-        stdout, wall = run_one(args.cfg, od, int(it_s), float(lr_s),
-                               planner, args.extra)
-        row = {"num_iters": int(it_s), "lr": float(lr_s), "planner": planner,
-               "wall_s": round(wall, 1), **parse_summary(stdout)}
-        fe = row.get("feasible") or 0
-        row["adv_rate"] = round(row["adv_success"] / fe, 3) if fe else None
-        row["sol_rate"] = round(row["sol_success"] / fe, 3) if fe else None
-        rows.append(row)
-        print(f"[yield] {tag}: {row}", flush=True)
+    results = {}
+    for spec in args.points:
+        name, _, flagstr = spec.partition(":")
+        flags = flagstr.split() if flagstr else []
+        if args.max_scenes:
+            flags += ["--max_scenes", str(args.max_scenes)]
+        od = os.path.join(args.out, name)
+        summary, wall = run_point(name, od, args.cfg, flags)
+        feas = summary.get("feasible", 0)
+        summary["yield_pct"] = round(
+            100.0 * summary.get("adv_success", 0) / feas, 1) if feas else 0.0
+        summary["wall_sec"] = round(wall, 1)
+        results[name] = summary
+        print(f"[{name}] {summary}")
+        with open(os.path.join(args.out, "yield_study.json"), "w") as fh:
+            json.dump(results, fh, indent=2)
 
-    hdr = ("| iters | lr | planner | feasible | adv | sol | adv rate | "
-           "sol rate | wall (s) |")
-    print(hdr)
-    print("|" + "---|" * 9)
-    for r in rows:
-        print(f"| {r['num_iters']} | {r['lr']} | {r['planner']} | "
-              f"{r['feasible']} | {r['adv_success']} | {r['sol_success']} | "
-              f"{r['adv_rate']} | {r['sol_rate']} | {r['wall_s']} |")
-
-    with open(os.path.join(args.out, "yield_study.json"), "w") as fh:
-        json.dump(rows, fh, indent=2)
+    print("\n| point | candidates | feasible | adv | sol | yield % | "
+          "pipeline s |")
+    print("|---|---|---|---|---|---|---|")
+    for name, s in results.items():
+        print(f"| {name} | {s.get('candidates', '?')} | "
+              f"{s.get('feasible', '?')} | {s.get('adv_success', '?')} | "
+              f"{s.get('sol_success', '?')} | {s.get('yield_pct', '?')} | "
+              f"{s.get('pipeline_sec', '?')} |")
     print("wrote", os.path.join(args.out, "yield_study.json"))
 
 
