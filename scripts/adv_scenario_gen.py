@@ -134,8 +134,17 @@ def main(argv=None):
     ds, store, lane_graphs, state_norm, att_norm = load_environment(
         cfg, cfg.split, load_lanegraph=need_lanes
     )
-    from strive_tpu.normalize import effective_categories
-    nc = len(effective_categories(cfg.agent_types, cfg.reduce_cats))
+    from strive_tpu.normalize import REDUCED_CAT, effective_categories
+    eff_cats = effective_categories(cfg.agent_types, cfg.reduce_cats)
+    nc = len(eff_cats)
+    if cfg.adv_attack_with is not None and \
+            cfg.adv_attack_with not in eff_cats and \
+            REDUCED_CAT.get(cfg.adv_attack_with) not in eff_cats:
+        # fail fast on a typo'd category — a silent all-False restriction
+        # would just produce zero scenarios with no explanation
+        raise SystemExit(
+            f"--adv_attack_with {cfg.adv_attack_with!r} is not in the "
+            f"effective category set {eff_cats} (nor reduces into it)")
     model = build_model(cfg, state_norm, att_norm, nc)
     dt = 0.5
 

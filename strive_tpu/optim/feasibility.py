@@ -86,10 +86,23 @@ def restrict_attackers_to_category(feasible, sem, categories, category):
     :param sem: (NA, NC) one-hot semantics incl. the ego row
     :param categories: ordered category names indexing sem's columns
         (the EFFECTIVE set — post ``reduce_cats``)
-    :param category: name that may attack (e.g. 'cyclist')
+    :param category: name that may attack (e.g. 'cyclist'). A raw name is
+        mapped through ``REDUCED_CAT`` when the effective set is reduced
+        (e.g. ``--adv_attack_with bus`` under ``--reduce_cats`` restricts
+        to the 'truck' column it reduces to); a category absent from the
+        effective set yields an all-False mask — the reference simply
+        finds zero candidates of that category and skips the scene
+        (``adv_scenario_gen.py:209-219``), it never crashes.
     """
     import numpy as np
 
-    ci = list(categories).index(category)
+    from ..normalize import REDUCED_CAT
+
+    cats = list(categories)
+    if category not in cats and REDUCED_CAT.get(category) in cats:
+        category = REDUCED_CAT[category]
+    if category not in cats:
+        return jnp.zeros_like(jnp.asarray(feasible, bool))
+    ci = cats.index(category)
     is_cat = np.asarray(sem[1:, ci]) > 0.5
     return jnp.asarray(np.asarray(feasible) & is_cat)

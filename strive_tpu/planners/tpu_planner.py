@@ -882,6 +882,12 @@ def plan_rollout(tab: LaneTables, cfg: StaticPlanCfg, init_state, lw,
         ``linspace(dt, dt*Tsteps, Tsteps+1)`` timeline
     """
     NA, TO = other_obs.shape[:2]
+    # clamp initial speeds to >= 0: the static warp grid has no full
+    # backward extent (see the states_later clamp below); a negative s0
+    # would query the ego spline / prediction fans at distances past the
+    # grid start. Ego speed then STAYS >= 0 (profile targets live in
+    # [0, smax], _gen_sprofiles). PARITY.md §16.
+    init_state = init_state.at[:, 3].set(jnp.maximum(init_state[:, 3], 0.0))
     # prepend the initial pose at t=0 (reference create_other_agents)
     h0 = jnp.stack([jnp.cos(init_state[:, 2]), jnp.sin(init_state[:, 2])],
                    -1)
@@ -913,7 +919,17 @@ def plan_rollout(tab: LaneTables, cfg: StaticPlanCfg, init_state, lw,
     osp = jnp.hypot(dxy[..., 0], dxy[..., 1]) / cfg.dt
     osgn = jnp.where(dxy[..., 0] * o[..., 2] + dxy[..., 1] * o[..., 3] >= 0,
                      1.0, -1.0)
-    states_later = jnp.stack([o[..., 0], o[..., 1], ohd, osgn * osp], -1)
+    # Reversing agents (osgn < 0) are predicted as STOPPING (speed clamped
+    # to 0) instead of reversing: the reference sizes each agent's spline
+    # backward extent per-speed (backdist = 1 + |s|*tmax when s <= 0,
+    # hardcode_goalcond_nusc.py:290); the static warp grid here only covers
+    # ~NBB*LANE_DS backward, so an unclamped negative fan distance would
+    # silently clamp to the grid start ~17 m behind the agent (a phantom
+    # obstacle). Clamping is exact for model-decoded futures — the bicycle
+    # dynamics forbid reverse (models/common.py:47-68 s-clamp [0, smax]) —
+    # and conservative for recorded reversing agents (PARITY.md §16).
+    states_later = jnp.stack([o[..., 0], o[..., 1], ohd,
+                              jnp.maximum(osgn * osp, 0.0)], -1)
     state_all = jnp.concatenate([init_state[None], states_later], axis=0)
     alive_later = alive0[None, :] & (t_grid[:, None]
                                      <= horizon[None, :] + 1e-6)

@@ -45,6 +45,29 @@ def test_restrict_attackers_unit():
     np.testing.assert_array_equal(got, [True, False, False])
 
 
+def test_restrict_attackers_reduced_and_missing_category():
+    """ADVICE r4: a raw category that REDUCES into the effective set maps
+    through REDUCED_CAT (e.g. 'bus' -> 'truck' under --reduce_cats); one
+    absent from the effective set yields an all-False mask (the reference
+    finds zero candidates and gracefully skips the scene,
+    ``adv_scenario_gen.py:209-219``) instead of raising ValueError."""
+    import jax.numpy as jnp
+
+    from strive_tpu.optim import restrict_attackers_to_category
+
+    cats = ("car", "cyclist", "truck")  # effective (reduced) set
+    sem = jnp.asarray(np.array([[1, 0, 0], [0, 0, 1], [1, 0, 0], [0, 0, 1]],
+                               np.float32))
+    feas = jnp.asarray(np.array([True, True, True]))
+    # 'bus' reduces to 'truck': agents 1 and 3 are trucks
+    got = np.asarray(restrict_attackers_to_category(feas, sem, cats, "bus"))
+    np.testing.assert_array_equal(got, [True, False, True])
+    # 'pedestrian' is absent from the effective set: all-False, no crash
+    got = np.asarray(restrict_attackers_to_category(feas, sem, cats,
+                                                    "pedestrian"))
+    np.testing.assert_array_equal(got, [False, False, False])
+
+
 def test_cyclist_attacker_pipeline(tmp_path):
     """Full pipeline with --reduce_cats + --adv_attack_with cyclist on
     synthetic all-category data (CPU subprocess; VERDICT r3 item 7): every

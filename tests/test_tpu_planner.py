@@ -241,6 +241,89 @@ def test_parity_randomized_sweep(lg, lg_forks):
     assert errs.max() < 1.0
 
 
+def test_reversing_other_predicted_stopping(lg):
+    """A reversing other agent (negative finite-difference speed) must be
+    predicted as STOPPING near its observed position, NOT teleported to the
+    warp grid's backward clamp point ~17 m behind it along the route
+    (ADVICE r4). The reference instead sizes each spline's backward extent
+    per-speed (``hardcode_goalcond_nusc.py:290``); the static-grid port
+    clamps speeds >= 0 — deviation documented in PARITY.md §16."""
+    from strive_tpu.planners.tpu_planner import (StaticPlanCfg,
+                                                 _others_step_data,
+                                                 build_lane_tables,
+                                                 stack_lane_tables)
+
+    cfg = StaticPlanCfg.from_planner_config(
+        PlannerConfig(**PLANNER_CONFIGS["default"]))
+    tab = stack_lane_tables([build_lane_tables(lg)])
+
+    # on the y=128 lane row, heading +x, speed CLAMPED to 0 (the planner
+    # clamps before calling _others_step_data; a raw negative speed would
+    # generate negative fan distances that _interp_cols clamps to the grid
+    # start). Assert the s=0 fan stays put...
+    pos = np.array([100.0, 128.0])
+    state0 = jnp.asarray([[pos[0], pos[1], 0.0, 0.0]])
+    ocirc, ovalid = _others_step_data(state0, jnp.ones((1,), bool),
+                                      jnp.asarray([[4.5, 2.0]]), tab, cfg, 0)
+    oc, ov = np.asarray(ocirc), np.asarray(ovalid)
+    centers = oc[:, ov, :, :2].reshape(-1, 2)
+    d = np.linalg.norm(centers - pos, axis=-1)
+    assert d.max() < 4.0, f"s=0 fan escaped to {d.max():.1f} m"
+
+    # ...and that a raw NEGATIVE speed reaching the fan generator really
+    # does produce the grid-start artifact the clamp exists to prevent
+    # (guards against the backward grid silently growing and masking a
+    # future regression of the clamp)
+    state_neg = jnp.asarray([[pos[0], pos[1], 0.0, -5.0]])
+    ocirc_n, ovalid_n = _others_step_data(
+        state_neg, jnp.ones((1,), bool), jnp.asarray([[4.5, 2.0]]), tab,
+        cfg, 0)
+    cn = np.asarray(ocirc_n)[:, np.asarray(ovalid_n), :, :2].reshape(-1, 2)
+    dn = np.linalg.norm(cn - pos, axis=-1)
+    assert dn.max() > 8.0, "negative speeds no longer distort the fan — " \
+        "re-evaluate whether the >=0 clamp (PARITY.md §16) is still needed"
+
+
+def test_rollout_with_reversing_agent_and_negative_ego_speed(lg):
+    """Full rollout: a reversing lead agent + a negative initial ego speed
+    (both possible via the finite-difference speed estimates, ADVICE r4)
+    stay finite and the ego never drives through the reverser's TRUE
+    (observed) position."""
+    cfg = PlannerConfig(**PLANNER_CONFIGS["default"])
+    T, dt = 12, 0.5
+    obs_t = np.arange(1, T + 1) * dt
+    # ego at x=40 on the y=128 lane, heading +x, init speed NEGATIVE
+    # (finite-difference artifact); reverser starts 30 m ahead heading +x
+    # but MOVING -x at 4 m/s (closing head-on)
+    init = np.zeros((2, 6), np.float32)
+    init[0] = [40.0, 128.0, 1.0, 0.0, -2.0, 0.0]
+    init[1] = [70.0, 128.0, 1.0, 0.0, -4.0, 0.0]
+    obs = np.full((2, T, 4), np.nan, np.float32)
+    obs[1, :, 0] = 70.0 - 4.0 * obs_t
+    obs[1, :, 1] = 128.0
+    obs[1, :, 2] = 1.0
+    obs[1, :, 3] = 0.0
+    lw = np.full((2, 2), [4.5, 2.0], np.float32)
+    dev = _tpu_rollout(lg, cfg, init, lw, obs, obs_t, obs_t)
+    assert np.isfinite(dev).all()
+    # the ego must SEE the closing reverser and brake to a stop instead of
+    # driving into it (the reverser then closing onto the stopped ego is
+    # physics, not a planning fault — the ego cannot reverse, reference
+    # gen_sprofiles clamps speeds to [0, smax]). Phantom-fan blindness
+    # (the pre-clamp bug) would let the ego keep driving while the gap is
+    # small.
+    rev_x = np.interp(obs_t, np.concatenate([[0.0], obs_t]),
+                      np.concatenate([[70.0], obs[1, :, 0]]))
+    gap = rev_x - dev[:, 0]
+    ego_dx = np.diff(np.concatenate([[40.0], dev[:, 0]]))
+    close = gap < 8.0
+    assert np.all(ego_dx[close] < 0.3), \
+        "ego kept driving into the reversing agent " \
+        f"(steps at gap<8 m moved {ego_dx[close].max():.2f} m)"
+    # and it did brake from its (clamped-to-0) start rather than NaN out
+    assert np.abs(dev[-1, 0] - dev[-2, 0]) < 0.3
+
+
 def test_fused_bridge_contract(lg):
     """make_fused_fn matches make_planner_host_fn's input/output contract
     and runs under jit (pure jax)."""
