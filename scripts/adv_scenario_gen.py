@@ -66,15 +66,19 @@ def parse_cfg(argv=None):
                              "'tpu': device phase-B planner (fast path: "
                              "its own compiled program called between "
                              "chunks; see --closed_loop_mode)")
-    parser.add_argument("--closed_loop_mode", type=str, default="chunked",
+    parser.add_argument("--closed_loop_mode", type=str, default="fused",
                         choices=["chunked", "fused"],
-                        help="'chunked' (default): planner re-rolls "
-                             "eagerly between jitted chunks every "
-                             "--planner_refresh_every iterations "
-                             "(reference-exact at 1). 'fused' (tpu "
-                             "backend only): planner traced INTO one "
-                             "compiled loop — zero host hops, the "
-                             "fastest closed loop (PERF.md r3)")
+                        help="'fused' (default, tpu backend only): "
+                             "planner traced INTO one compiled loop — "
+                             "zero host hops, the measured-fastest "
+                             "closed loop (PERF.md r4: 15.7 vs 12.8 "
+                             "it/s chunked). 'chunked': planner "
+                             "re-rolls eagerly between jitted chunks "
+                             "every --planner_refresh_every iterations "
+                             "(reference-exact at 1; both modes are "
+                             "equivalence-tested per k in "
+                             "tests/test_optim.py). The host backend "
+                             "always runs chunked.")
     parser.add_argument("--planner_refresh_every", type=int, default=1,
                         help="re-roll the closed-loop planner every k-th "
                              "Adam iteration (1 = reference-exact; the "
@@ -205,9 +209,19 @@ def main(argv=None):
     planner = None
     if cfg.planner == "hardcode":
         pc = PlannerConfig(**PLANNER_CONFIGS[cfg.planner_cfg])
-        planner = (TpuRulePlanner(lane_graphs, store.map_names, pc)
-                   if cfg.planner_backend == "tpu"
-                   else RulePlanner(lane_graphs, store.map_names, pc))
+        if cfg.planner_backend == "tpu":
+            # HBM guard (CLAUDE.md / PERF.md r4): the fused closed loop's
+            # others-phase transients scale with B x others_chunk; B=4 x
+            # chunk=16 measured fatal (crashes the remote TPU worker). Size
+            # the chunk so B x chunk <= 32 and hard-assert the < 64 bound.
+            chunk = max(1, min(8, 32 // max(cfg.batch_size, 1)))
+            assert cfg.batch_size * chunk < 64, \
+                f"B x others_chunk = {cfg.batch_size * chunk} >= 64 " \
+                "(HBM ceiling, PERF.md r4)"
+            planner = TpuRulePlanner(lane_graphs, store.map_names, pc,
+                                     others_chunk=chunk)
+        else:
+            planner = RulePlanner(lane_graphs, store.map_names, pc)
 
     stats = {"candidates": 0, "feasible": 0, "adv_success": 0,
              "sol_success": 0, "planner_precollide": 0}
