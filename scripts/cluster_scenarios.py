@@ -59,6 +59,52 @@ def compute_coll_feat(lw, scene_traj, dt):
     return {"hvec": hvec, "angvec": pos.tolist()}
 
 
+def semantic_cluster_name(center):
+    """Human-readable collision-type name for one KMeans center.
+
+    The reference hand-labels its 10 clusters
+    (``data/clustering/cluster_labels.txt``: 'Merge from Right, Head On,
+    Behind, Cutoff Left & Front, T-Bone Left, ...'); we derive names of the
+    same vocabulary from the center's geometry. The 4-D feature is
+    [angvec (unit planner->attacker direction at collision, planner frame),
+    hvec (attacker heading, planner frame)] (``cluster_scenarios.py:76-117``;
+    planner frame: +x forward, +y left).
+    """
+    ax, ay, hx, hy = [float(v) for v in center]
+    a = np.degrees(np.arctan2(ay, ax))    # where the attacker hits from
+    h = np.degrees(np.arctan2(hy, hx))    # attacker heading vs planner's
+    side = "Left" if ay > 0 else "Right"
+    if abs(a) <= 45.0:          # impact at the front
+        if abs(h) >= 135.0:
+            return "Head On"
+        if abs(h) <= 45.0:
+            return "Cutoff " + side + " & Front"
+        return "Front from " + side
+    if abs(a) >= 135.0:         # impact from behind
+        return "Behind"
+    # impact on the flank
+    if abs(h) <= 45.0:
+        return "Merge from " + side
+    return "T-Bone " + side
+
+
+def write_cluster_labels(clustering, out_dir):
+    """Auto-derived semantic names, one per cluster, comma-separated —
+    consumable by ``eval_adv_gen.py --cluster_labels`` (same format as the
+    reference's hand-written ``cluster_labels.txt``). Duplicate names get
+    a numeric suffix so the label set stays unambiguous."""
+    names = [semantic_cluster_name(c) for c in clustering.cluster_centers_]
+    seen = {}
+    for i, n in enumerate(names):
+        seen[n] = seen.get(n, 0) + 1
+        if seen[n] > 1:
+            names[i] = f"{n} ({seen[n]})"
+    path = os.path.join(out_dir, "cluster_labels.txt")
+    with open(path, "w") as f:
+        f.write(", ".join(names))
+    return path, names
+
+
 def main(argv=None):
     cfg = parse_cfg(argv)
     cfg.out = cfg.out + "_" + str(int(time.time()))
@@ -96,6 +142,9 @@ def main(argv=None):
     labels = clustering.labels_
     with open(os.path.join(cfg.out, "cluster.pkl"), "wb") as f:
         pickle.dump(clustering, f)
+    labels_path, label_names = write_cluster_labels(clustering, cfg.out)
+    Logger.log("cluster labels: " + ", ".join(label_names)
+               + " -> " + labels_path)
 
     fig, axs = plt.subplots(1, 2, figsize=(10, 5))
     th = np.linspace(0, 2 * np.pi, 100)

@@ -54,8 +54,66 @@ def parse_cfg(argv=None):
     parser.add_argument("--eval_quant", action="store_true", default=False)
     parser.add_argument("--eval_qual", action="store_true", default=False)
     parser.add_argument("--cluster_pkl", type=str, default=None)
+    parser.add_argument("--cluster_labels", type=str, default=None,
+                        help="txt file with comma-separated semantic names "
+                             "for each cluster (reference "
+                             "eval_adv_gen.py:45 / "
+                             "data/clustering/cluster_labels.txt); defaults "
+                             "to 'cluster <idx>' names")
     parser.add_argument("--synth_scenes", type=int, default=4)
     return parser.parse(argv)
+
+
+def load_cluster_labels(path, n_clusters):
+    """Semantic cluster names from a comma-separated txt file (reference
+    ``eval_adv_gen.py:45,208-233``); falls back to 'cluster <i>'."""
+    if path:
+        with open(path) as f:
+            names = [s.strip() for s in f.read().split(",") if s.strip()]
+        if len(names) != n_clusters:
+            raise SystemExit(
+                f"--cluster_labels has {len(names)} names but the "
+                f"clustering has {n_clusters} clusters")
+        return names
+    return [f"cluster {i}" for i in range(n_clusters)]
+
+
+def plot_scenario_distrib(n_clusters, cluster_labels, label_idx_by_taxonomy,
+                          out_path):
+    """Horizontal bar chart of collision-type counts, adv_sol_success vs
+    sol_failed side by side per cluster (reference
+    ``eval_adv_gen.py:170-206`` plot_scenario_distrib: clusters sorted by
+    label name, 'Solution Found' orange / 'No Solution' red)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    labels = np.array(cluster_labels)
+    sort_inds = np.argsort(labels)
+    labels = labels[sort_inds]
+
+    fig = plt.figure(dpi=200)
+    ax = plt.gca()
+    ax.xaxis.get_major_locator().set_params(integer=True)
+    counts = []
+    for t in ("adv_sol_success", "sol_failed"):
+        cur = np.asarray(label_idx_by_taxonomy.get(t, []), dtype=int)
+        c = np.array([np.sum(cur == li) for li in range(n_clusters)])
+        counts.append(c[sort_inds])
+    y_pos = np.arange(n_clusters)
+    y_off = np.linspace(-0.2, 0.2, len(counts))[::-1]
+    w = y_off[1] - y_off[0]
+    for c, off, color, name in zip(counts, y_off, ("orange", "red"),
+                                   ("Solution Found", "No Solution")):
+        plt.barh(y_pos + off, c, w, color=color, align="center", label=name)
+    plt.yticks(y_pos, tuple(labels))
+    plt.legend()
+    plt.xlabel("Count")
+    plt.title("Collision Scenario Distribution")
+    plt.tight_layout()
+    plt.savefig(out_path)
+    plt.close(fig)
 
 
 def scenario_metrics(sc, dt, store=None, map_idx=0):
@@ -228,10 +286,12 @@ def main(argv=None):
     Logger.log("sol success rate (of adv successes) = %f"
                % (n_sol / max(n_adv, 1)))
 
-    clustering = None
+    clustering, cluster_names = None, None
     if cfg.cluster_pkl:
         with open(cfg.cluster_pkl, "rb") as f:
             clustering = pickle.load(f)
+        cluster_names = load_cluster_labels(
+            cfg.cluster_labels, int(clustering.n_clusters))
 
     store = None
     if cfg.eval_quant or cfg.eval_qual:
@@ -243,6 +303,7 @@ def main(argv=None):
         from cluster_scenarios import compute_coll_feat
 
         rows, names = [], []
+        label_idx_by_taxonomy = {}
         for t in taxonomy:
             for sc in all_scenes[t]:
                 map_idx = (store.map_names.index(sc["map"])
@@ -256,9 +317,21 @@ def main(argv=None):
                                           sc.get("dt", 0.5))
                     if f is not None:
                         X = np.array(f["angvec"] + f["hvec"])[None]
-                        m["cluster_label"] = int(clustering.predict(X)[0])
+                        li = int(clustering.predict(X)[0])
+                        m["cluster_label"] = li
+                        # semantic label name in the per-seq CSV
+                        # (reference :208-233 assign_cluster)
+                        m["cluster_name"] = cluster_names[li]
+                        label_idx_by_taxonomy.setdefault(t, []).append(li)
                 rows.append(m)
                 names.append(f"{t}/{sc['name']}")
+        if clustering is not None and (
+                label_idx_by_taxonomy.get("adv_sol_success")
+                or label_idx_by_taxonomy.get("sol_failed")):
+            plot_path = os.path.join(cfg.out, "scenario_distrib.png")
+            plot_scenario_distrib(int(clustering.n_clusters), cluster_names,
+                                  label_idx_by_taxonomy, plot_path)
+            Logger.log("wrote " + plot_path)
         csv_path = os.path.join(cfg.out, "per_seq_results.csv")
         keys = sorted({k for r in rows for k in r})
         with open(csv_path, "w") as f:
