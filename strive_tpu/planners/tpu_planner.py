@@ -40,6 +40,7 @@ Decision parity vs the host planner is asserted in
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -50,6 +51,16 @@ import numpy as np
 from .hardcode import LANE_DS, LANE_SIG, SBUFFER, PlannerConfig
 
 BIG = 1e9
+
+# Interp knot-read form (see _interp_cols): 'matmul' (default) feeds the
+# combined lerp weights to a batched MXU dot; 'msum'/'msum2' stream them
+# through fused multiply-reduces instead. All three are bit-exact
+# (two nonzero terms per row; IEEE addition of the zeros is exact —
+# test_tpu_planner.py::test_interp_forms_bit_exact on the real chip).
+# Measured at B=4 x NA=8 fused (PERF.md r5): matmul 15.6 it/s,
+# msum 14.0, msum2 12.3 — the MXU dot wins despite materializing its W
+# operand; the knob stays for re-testing on other toolchains.
+_INTERP_FORM = os.environ.get("STRIVE_INTERP_FORM", "matmul")
 
 
 # Branch codes (b1, b2): successor index taken at the first/second fork of
@@ -521,6 +532,18 @@ def _interp_cols(tq, t, vals):
     w = jnp.where(t1 > t0, (tq - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0)
     w = jnp.clip(w, 0.0, 1.0)
     W = oh0 + w[:, None] * (oh1 - oh0)
+    if _INTERP_FORM == "msum":
+        # fused multiply-reduce: bit-exact vs the dot (each row of W has
+        # exactly two nonzeros — (1-w) and w — and IEEE addition with the
+        # exact zeros elsewhere cannot perturb their fl((1-w)v0 + w v1);
+        # asserted vs the matmul form in test_tpu_planner). Avoids
+        # materializing the batched W operand but trades MXU for VPU
+        # work — measured SLOWER than the dot (PERF.md r5).
+        return jnp.sum(W[:, :, None] * vals[None, :, :], axis=1)
+    if _INTERP_FORM == "msum2":
+        v0 = jnp.sum(oh0[:, :, None] * vals[None, :, :], axis=1)
+        v1 = jnp.sum(oh1[:, :, None] * vals[None, :, :], axis=1)
+        return (1.0 - w)[:, None] * v0 + w[:, None] * v1
     return jnp.dot(W, vals, precision=jax.lax.Precision.HIGHEST)
 
 
@@ -765,10 +788,15 @@ def _others_step_data(state, alive, lw, tab, cfg: StaticPlanCfg, mid):
     tevals = jax.vmap(other_tevals)(state[:, 3])  # (NA, NTEV, T1)
     NTEV = tevals.shape[1]
     C = cfg.MC * cfg.NBR
+    # fan queries are distances >= 0 (speeds are clamped >= 0, dists are
+    # their cumsum) and the warp grid pins t2[NBB] = 0, so the NBB backward
+    # knots can never be selected — slice them off the interp (exact;
+    # ~17% off the hottest interp of the planner, PERF.md r5)
+    t2f, valsf = t2[..., cfg.NBB:], vals[..., cfg.NBB:, :]
     # (NA, C, NTEV, T1, 4)
     opreds = jax.vmap(lambda ts, vs, tevs: jax.vmap(
         lambda t_a, v_a: jax.vmap(lambda te: _interp_cols(te, t_a, v_a))(tevs)
-    )(ts, vs))(t2, vals, tevals)
+    )(ts, vs))(t2f, valsf, tevals)
     oh = jnp.arctan2(opreds[..., 3], opreds[..., 2])
     obox = jnp.concatenate([
         opreds[..., :2], oh[..., None],
@@ -796,6 +824,9 @@ def _plan_step_ego(ego, lw0, opos, ocirc, ovalid0, tab,
     """
     x0, y0, h0, s0 = ego[0], ego[1], ego[2], ego[3]
     t2e, valse, has_match = _ego_spline((x0, y0, h0), tab, cfg, mid)
+    # ego spline queries (profile dists, dt*stgt) are all >= 0: drop the
+    # backward knots, same argument as _others_step_data's fan slice
+    t2e, valse = t2e[cfg.NBB:], valse[cfg.NBB:]
 
     NO = opos.shape[0]
     T1 = cfg.nsteps + 1

@@ -270,18 +270,23 @@ def test_reversing_other_predicted_stopping(lg):
     d = np.linalg.norm(centers - pos, axis=-1)
     assert d.max() < 4.0, f"s=0 fan escaped to {d.max():.1f} m"
 
-    # ...and that a raw NEGATIVE speed reaching the fan generator really
-    # does produce the grid-start artifact the clamp exists to prevent
-    # (guards against the backward grid silently growing and masking a
-    # future regression of the clamp)
+    # ...and that a raw NEGATIVE speed reaching the fan generator ALSO
+    # freezes in place now: the r5 forward-only knot slice starts the fan
+    # interp at t2[NBB] = 0 (the route-closest point), so negative fan
+    # distances clamp to distance 0 — stop-in-place — instead of the
+    # pre-slice phantom ~17 m behind (the ADVICE-r4 artifact). The >= 0
+    # speed clamp in plan_rollout (PARITY.md §16) is still load-bearing
+    # for the SPEED-PROFILE and ego-s0 paths; the fan itself is now
+    # negative-proof by construction.
     state_neg = jnp.asarray([[pos[0], pos[1], 0.0, -5.0]])
     ocirc_n, ovalid_n = _others_step_data(
         state_neg, jnp.ones((1,), bool), jnp.asarray([[4.5, 2.0]]), tab,
         cfg, 0)
     cn = np.asarray(ocirc_n)[:, np.asarray(ovalid_n), :, :2].reshape(-1, 2)
     dn = np.linalg.norm(cn - pos, axis=-1)
-    assert dn.max() > 8.0, "negative speeds no longer distort the fan — " \
-        "re-evaluate whether the >=0 clamp (PARITY.md §16) is still needed"
+    assert dn.max() < 4.0, \
+        f"negative-speed fan escaped to {dn.max():.1f} m — the forward " \
+        "knot slice (distance-0 clamp) regressed; see PARITY.md §16"
 
 
 def test_rollout_with_reversing_agent_and_negative_ego_speed(lg):
@@ -348,3 +353,35 @@ def test_fused_bridge_contract(lg):
     out = jax.jit(fn)(pred_norm, tp.state)
     assert out.shape == (1, 6, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_interp_forms_bit_exact():
+    """The three _interp_cols knot-read forms (HIGHEST matmul, fused
+    multiply-reduce, two-read lerp) are bit-exact: every W row has exactly
+    two nonzeros, and IEEE addition with exact zeros cannot perturb
+    fl((1-w) v0 + w v1). matmul stays the default (fastest measured); the
+    msum forms exist as re-testable alternatives for toolchains where the
+    batched dot's materialized W operand dominates (PERF.md r5)."""
+    import jax
+
+    from strive_tpu.planners import tpu_planner as tpl
+
+    rng = np.random.default_rng(0)
+    t = np.cumsum(rng.uniform(0.05, 0.5, 64)).astype(np.float32)
+    t -= t[20]
+    vals = rng.normal(size=(64, 4)).astype(np.float32)
+    tq = rng.uniform(t[0] - 1.0, t[-1] + 1.0, 37).astype(np.float32)
+    outs = {}
+    orig = tpl._INTERP_FORM
+    try:
+        for form in ("matmul", "msum", "msum2"):
+            tpl._INTERP_FORM = form
+            # fresh jit per form (the global is read at trace time)
+            outs[form] = np.asarray(jax.jit(tpl._interp_cols)(
+                jnp.asarray(tq), jnp.asarray(t), jnp.asarray(vals)))
+    finally:
+        tpl._INTERP_FORM = orig
+    assert np.array_equal(outs["matmul"], outs["msum"]), \
+        np.abs(outs["matmul"] - outs["msum"]).max()
+    assert np.array_equal(outs["matmul"], outs["msum2"]), \
+        np.abs(outs["matmul"] - outs["msum2"]).max()
