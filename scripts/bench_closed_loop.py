@@ -69,7 +69,9 @@ def main():
     def run_mode(mode):
         pstate = None
         if mode.startswith("tpu"):
-            tp = TpuRulePlanner(lane_graphs, store.map_names, pc)
+            tp = TpuRulePlanner(
+                lane_graphs, store.map_names, pc,
+                others_chunk=int(os.environ.get("STRIVE_BENCH_CHUNK", "8")))
             tp.reset(init_state, lw_un, mask_np, np.asarray(scene.map_idx))
             pfn = tp.make_fused_fn(state_norm, dt, FT)
             pstate = tp.state

@@ -83,6 +83,8 @@ def main():
     mask_np = np.asarray(scene.mask)
     dt = 0.5
     res = {}
+    only = os.environ.get("STRIVE_PROBE_SECTIONS", "noop,fused,rollout,others")
+    only = {s.strip() for s in only.split(",")}
 
     def run_fused(pfn, pstate):
         out = run_adv_gen_optim(
@@ -97,18 +99,19 @@ def main():
     def noop_fn(future_pred_norm, pstate):
         return future_pred_norm[:, 0]
 
-    t0 = time.time()
-    run_fused(noop_fn, {"dummy": jnp.zeros(1)})
-    print(f"fused_noop compile {time.time()-t0:.1f}s", flush=True)
     times = [0.0] * 3
-    for i in range(3):
+    if "noop" in only:
         t0 = time.time()
         run_fused(noop_fn, {"dummy": jnp.zeros(1)})
-        times[i] = time.time() - t0
-    res["fused_noop_ms_per_iter"] = float(np.median(times)) / ITERS * 1e3
+        print(f"fused_noop compile {time.time()-t0:.1f}s", flush=True)
+        for i in range(3):
+            t0 = time.time()
+            run_fused(noop_fn, {"dummy": jnp.zeros(1)})
+            times[i] = time.time() - t0
+        res["fused_noop_ms_per_iter"] = float(np.median(times)) / ITERS * 1e3
 
     # --- fused_real --------------------------------------------------------
-    for chunk in (8,):
+    for chunk in (8,) if "fused" in only else ():
         tp = tpl.TpuRulePlanner(lane_graphs, store.map_names, pc,
                                 others_chunk=chunk)
         tp.reset(init_state, lw_un, mask_np, np.asarray(scene.map_idx))
@@ -138,7 +141,7 @@ def main():
         other_obs[:, :, ti, 1] = init_state[:, :, 1] + hy * spd * t
         other_obs[:, :, ti, 2] = hx
         other_obs[:, :, ti, 3] = hy
-    for chunk in (8, 16):
+    for chunk in (8, 16) if "rollout" in only else ():
         tp = tpl.TpuRulePlanner(lane_graphs, store.map_names, pc,
                                 others_chunk=chunk)
         tp.reset(init_state, lw_un, mask_np, np.asarray(scene.map_idx))
@@ -191,15 +194,17 @@ def main():
     init4b = np.stack([init_state[..., 0], init_state[..., 1],
                        np.arctan2(init_state[..., 3], init_state[..., 2]),
                        init_state[..., 4]], -1)
-    for chunk in (8, 16):
+    for chunk in (8, 16) if "others" in only else ():
         cfg = cfg0._replace(others_chunk=chunk)
         tp = tpl.TpuRulePlanner(lane_graphs, store.map_names, pc,
                                 others_chunk=chunk)
-        # tables MUST be jit arguments — captured as constants they take
-        # the slow embedded-gather path (the r5 first-cut probe measured
-        # 138 ms/99 ms that way, 4x the argument-passing number)
-        fn = jax.jit(lambda tabs, i, l, m, o: others_only(
-            tabs, cfg, i, l, m, o, jnp.asarray(obs_t)))
+        # tables MUST be jit arguments (constant-captured tables take the
+        # slow embedded-gather path), and the output MUST be reduced to
+        # scalars on-device: fetching the raw (B, T1, 26, K, 5, 3) ocirc
+        # through the remote D2H tunnel costs ~80 ms and swamps the
+        # compute (the r5 first-cut probe measured 111-138 ms that way)
+        fn = jax.jit(lambda tabs, i, l, m, o: jax.tree_util.tree_map(
+            jnp.sum, others_only(tabs, cfg, i, l, m, o, jnp.asarray(obs_t))))
         ms = slope(fn, tp.tables, jnp.asarray(init4b), jnp.asarray(lw_un),
                    jnp.asarray(mask_np), jnp.asarray(other_obs)) * 1e3
         res[f"others_c{chunk}_ms"] = round(ms, 2)

@@ -62,6 +62,19 @@ BIG = 1e9
 # operand; the knob stays for re-testing on other toolchains.
 _INTERP_FORM = os.environ.get("STRIVE_INTERP_FORM", "matmul")
 
+# Precision of the combined-weight knot-value dot in _interp_cols (the
+# planner's hottest MXU op). HIGHEST (default) = exact f32 passthrough of
+# the one-hot rows. DO NOT set HIGH on the axon remote-TPU toolchain: the
+# first fused-loop program compiled with it WEDGED the remote worker
+# (r5 — same no-error, all-clients-block signature as the r3 "HBM"
+# fatality; the AOT memory probe shows only ~380 MB static footprint, so
+# these are runtime pathologies, not OOM). The knob exists for OTHER
+# toolchains, where HIGH (3 bf16 passes, ~2^-21 relative lerp error)
+# should halve the dominant W-operand matmul traffic.
+_INTERP_PRECISION = getattr(
+    jax.lax.Precision,
+    os.environ.get("STRIVE_INTERP_PRECISION", "HIGHEST").upper())
+
 
 # Branch codes (b1, b2): successor index taken at the first/second fork of
 # a forward walk (reference expand_verts :379-414; PARITY.md §12 bounds
@@ -544,7 +557,7 @@ def _interp_cols(tq, t, vals):
         v0 = jnp.sum(oh0[:, :, None] * vals[None, :, :], axis=1)
         v1 = jnp.sum(oh1[:, :, None] * vals[None, :, :], axis=1)
         return (1.0 - w)[:, None] * v0 + w[:, None] * v1
-    return jnp.dot(W, vals, precision=jax.lax.Precision.HIGHEST)
+    return jnp.dot(W, vals, precision=_INTERP_PRECISION)
 
 
 def _route_spline(xys, ix0, pose, cfg: StaticPlanCfg):
