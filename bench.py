@@ -29,7 +29,7 @@ def main():
     import jax.numpy as jnp
 
     from strive_tpu.maps import synthetic_map_store
-    from strive_tpu.model.traffic_model import TrafficModel, NormConfig
+    from strive_tpu.model.traffic_model import init_model_params, TrafficModel, NormConfig
     from strive_tpu.normalize import att_normalizer_for, state_normalizer_for
     from strive_tpu.data.synthetic import synthetic_scene_list
     from strive_tpu.scene import pad_scene_arrays
@@ -57,7 +57,7 @@ def main():
                                   PT=PT, FT=FT, min_agents=NA, max_agents=NA)
     scene = pad_scene_arrays(scenes, NA, 2)
     key = jax.random.PRNGKey(0)
-    params = model.init(key, scene, store, key, method="forward")
+    params = init_model_params(model, scene, store, key)
 
     emb = jax.jit(lambda p, s: model.apply(p, s, store, method="embed"))(
         params, scene

@@ -44,6 +44,7 @@ from strive_tpu.utils.logger import Logger, mkdir
 from strive_tpu.viz import get_adv_coloring, render_scene
 
 from train_traffic import build_model
+from strive_tpu.model.traffic_model import init_model_params
 
 
 def parse_cfg(argv=None):
@@ -154,7 +155,7 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(0)
     init_batch = ds.get_batch([0])
-    params = model.init(key, init_batch, store, key, method="forward")
+    params = init_model_params(model, init_batch, store, key)
     if cfg.ckpt is not None:
         params, _, _, _ = load_state(cfg.ckpt, params, None)
         Logger.log("Loaded checkpoint %s" % cfg.ckpt)

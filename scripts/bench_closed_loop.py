@@ -23,7 +23,7 @@ def main():
     from strive_tpu.data.synthetic import synthetic_scene_list
     from strive_tpu.maps import synthetic_map_store
     from strive_tpu.maps.lanegraph import synthetic_lanegraph
-    from strive_tpu.model.traffic_model import NormConfig, TrafficModel
+    from strive_tpu.model.traffic_model import init_model_params, NormConfig, TrafficModel
     from strive_tpu.normalize import att_normalizer_for, state_normalizer_for
     from strive_tpu.optim.adv import run_adv_gen_optim
     from strive_tpu.planners import PLANNER_CONFIGS, PlannerConfig, RulePlanner
@@ -49,7 +49,7 @@ def main():
                                   PT=PT, FT=FT, min_agents=NA, max_agents=NA)
     scene = pad_scene_arrays(scenes, NA, 2)
     key = jax.random.PRNGKey(0)
-    params = model.init(key, scene, store, key, method="forward")
+    params = init_model_params(model, scene, store, key)
     emb = jax.jit(lambda p, s: model.apply(p, s, store, method="embed"))(
         params, scene)
     prior = emb["prior_out"]

@@ -22,6 +22,7 @@ from strive_tpu.utils.logger import Logger, mkdir
 from strive_tpu.viz import render_scene
 
 from train_traffic import build_model
+from strive_tpu.model.traffic_model import init_model_params
 
 
 def parse_cfg(argv=None):
@@ -77,7 +78,7 @@ def main(argv=None):
     nc = len(effective_categories(cfg.agent_types, cfg.reduce_cats))
     model = build_model(cfg, state_norm, att_norm, nc)
     key = jax.random.PRNGKey(0)
-    params = model.init(key, ds.get_batch([0]), store, key, method="forward")
+    params = init_model_params(model, ds.get_batch([0]), store, key)
     if cfg.ckpt is not None:
         params, _, _, _ = load_state(cfg.ckpt, params, None)
 

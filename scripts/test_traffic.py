@@ -25,6 +25,7 @@ from strive_tpu.utils.logger import Logger, mkdir
 from strive_tpu.viz import render_rollout_video, render_scene
 
 from train_traffic import build_model
+from strive_tpu.model.traffic_model import init_model_params
 
 
 def parse_cfg(argv=None):
@@ -66,7 +67,7 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(0)
     init_batch = ds.get_batch(list(range(min(cfg.batch_size, len(ds)))))
-    params = model.init(key, init_batch, store, key, method="forward")
+    params = init_model_params(model, init_batch, store, key)
     if cfg.ckpt is not None:
         params, _, epoch, _ = load_state(cfg.ckpt, params, None)
         Logger.log(f"Loaded checkpoint from epoch {epoch}")

@@ -13,7 +13,7 @@ import numpy as np
 
 from strive_tpu.data.dataset import bucketed_batch_iterator as batch_iterator
 from strive_tpu.data.loading import load_environment
-from strive_tpu.model.traffic_model import NormConfig, TrafficModel
+from strive_tpu.model.traffic_model import init_model_params, NormConfig, TrafficModel
 from strive_tpu.train import Trainer, compute_kl_weight
 from strive_tpu.utils.checkpoint import load_state, save_state
 from strive_tpu.utils.config import add_base_args, get_parser
@@ -86,7 +86,7 @@ def main(argv=None):
     key = jax.random.PRNGKey(0)
     init_batch = train_ds.get_batch(list(range(min(cfg.batch_size,
                                                    len(train_ds)))))
-    params = model.init(key, init_batch, store, key, method="forward")
+    params = init_model_params(model, init_batch, store, key)
     n_params = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
     Logger.log("Num model params: %d" % n_params)
 

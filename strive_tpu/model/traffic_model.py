@@ -59,6 +59,23 @@ def rsample(key, mean, var):
     return mean + eps * jnp.sqrt(var)
 
 
+def init_model_params(model, scene, store, key):
+    """Initialize parameters with the whole init traced as ONE program.
+
+    Flax's eager ``model.init`` dispatches every traced op as its own tiny
+    device executable; on a remote-tunnel runtime (axon) that is thousands
+    of ~1 s round trips at production scale — tens of minutes of silent
+    startup before anything is logged. Jitting the init makes it one
+    compiled program, persisted in the JAX compilation cache so subsequent
+    runs of the same configuration start in seconds. The parameters are
+    identical to the eager path (same PRNG draws; only op scheduling
+    changes), and callers that load a checkpoint immediately overwrite
+    them anyway.
+    """
+    fn = jax.jit(lambda k, s: model.init(k, s, store, k, method="forward"))
+    return fn(key, scene)
+
+
 def _decode_substep(mdl, carry, consts, ext_t, has_ext, do_map_encode):
     """One autoregressive rollout step.
 

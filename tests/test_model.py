@@ -105,3 +105,27 @@ def test_bicycle_speed_limits(setup):
     np.testing.assert_allclose(
         np.linalg.norm(fut[..., 2:4], axis=-1), 1.0, atol=1e-4
     )
+
+
+def test_jitted_init_matches_eager():
+    """init_model_params (one-compile init) must produce the same parameter
+    tree as Flax's eager ``model.init`` — same PRNG draws, same shapes,
+    near-identical values (only XLA op scheduling differs). The jitted
+    path exists because eager init dispatches thousands of tiny programs
+    through the remote device tunnel (~tens of minutes at prod scale)."""
+    from strive_tpu.model.traffic_model import init_model_params
+
+    rng = np.random.default_rng(3)
+    scene = make_scene(rng)
+    model = tiny_model()
+    store = tiny_store()
+    key = jax.random.PRNGKey(3)
+    eager = model.init(key, scene, store, key, method="forward")
+    jitted = init_model_params(model, scene, store, key)
+    e_leaves, e_tree = jax.tree_util.tree_flatten(eager)
+    j_leaves, j_tree = jax.tree_util.tree_flatten(jitted)
+    assert e_tree == j_tree
+    for e, j in zip(e_leaves, j_leaves):
+        assert e.shape == j.shape and e.dtype == j.dtype
+        np.testing.assert_allclose(np.asarray(e), np.asarray(j),
+                                   rtol=1e-6, atol=1e-6)
