@@ -2,16 +2,33 @@
 item 6; reference ``eval_adv_gen.py:45,170-233`` + the hand-written
 ``data/clustering/cluster_labels.txt``)."""
 
+import importlib.util
 import os
-import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+_SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
+
+
+def _load_script(name):
+    """Import scripts/<name>.py by explicit path.
+
+    The reference tree (inserted at sys.path[0] by the ``reference_src``
+    fixture of any golden-parity test that ran earlier in the session) also
+    ships ``cluster_scenarios.py`` / ``eval_adv_gen.py``, so a bare
+    ``import`` would silently resolve to the wrong module depending on test
+    order.
+    """
+    key = f"_strive_scripts_{name}"
+    spec = importlib.util.spec_from_file_location(
+        key, os.path.join(_SCRIPTS, name + ".py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def test_semantic_cluster_names():
-    from cluster_scenarios import semantic_cluster_name
+    semantic_cluster_name = _load_script("cluster_scenarios").semantic_cluster_name
 
     # feature = [angvec (planner->attacker dir), hvec (attacker heading)],
     # planner frame: +x forward, +y left
@@ -31,8 +48,8 @@ def test_semantic_cluster_names():
 
 
 def test_write_and_load_cluster_labels(tmp_path):
-    from cluster_scenarios import write_cluster_labels
-    from eval_adv_gen import load_cluster_labels
+    write_cluster_labels = _load_script("cluster_scenarios").write_cluster_labels
+    load_cluster_labels = _load_script("eval_adv_gen").load_cluster_labels
 
     class FakeKMeans:
         cluster_centers_ = np.asarray(
@@ -54,7 +71,7 @@ def test_write_and_load_cluster_labels(tmp_path):
 
 
 def test_plot_scenario_distrib(tmp_path):
-    from eval_adv_gen import plot_scenario_distrib
+    plot_scenario_distrib = _load_script("eval_adv_gen").plot_scenario_distrib
 
     out = os.path.join(str(tmp_path), "distrib.png")
     plot_scenario_distrib(
