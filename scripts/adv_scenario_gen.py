@@ -144,7 +144,8 @@ def main(argv=None):
     nc = len(eff_cats)
     if cfg.adv_attack_with is not None and \
             cfg.adv_attack_with not in eff_cats and \
-            REDUCED_CAT.get(cfg.adv_attack_with) not in eff_cats:
+            not (cfg.reduce_cats and
+                 REDUCED_CAT.get(cfg.adv_attack_with) in eff_cats):
         # fail fast on a typo'd category — a silent all-False restriction
         # would just produce zero scenarios with no explanation
         raise SystemExit(
@@ -211,14 +212,21 @@ def main(argv=None):
     if cfg.planner == "hardcode":
         pc = PlannerConfig(**PLANNER_CONFIGS[cfg.planner_cfg])
         if cfg.planner_backend == "tpu":
-            # HBM guard (CLAUDE.md / PERF.md r4): the fused closed loop's
-            # others-phase transients scale with B x others_chunk; B=4 x
-            # chunk=16 measured fatal (crashes the remote TPU worker). Size
-            # the chunk so B x chunk <= 32 and hard-assert the < 64 bound.
-            chunk = max(1, min(8, 32 // max(cfg.batch_size, 1)))
-            assert cfg.batch_size * chunk < 64, \
-                f"B x others_chunk = {cfg.batch_size * chunk} >= 64 " \
-                "(HBM ceiling, PERF.md r4)"
+            # HBM guard (CLAUDE.md / PERF.md r4): the FUSED closed loop's
+            # others-phase transients scale with the PER-DEVICE batch x
+            # others_chunk; 4 x 16 measured fatal (wedges the remote TPU
+            # worker). Size the chunk so b_local x chunk <= 32 and refuse
+            # the measured-fatal >= 64 zone for fused mode only (chunked
+            # re-rolls the planner standalone and never hit the pathology;
+            # mesh-sharded runs split the batch over devices first).
+            b_local = -(-cfg.batch_size // max(cfg.mesh_devices, 1))
+            chunk = max(1, min(8, 32 // max(b_local, 1)))
+            if cfg.closed_loop_mode == "fused" and b_local * chunk >= 64:
+                raise SystemExit(
+                    f"per-device B x others_chunk = {b_local * chunk} >= "
+                    "64: measured-fatal ceiling for the fused closed loop "
+                    "(PERF.md r4). Lower --batch_size, raise "
+                    "--mesh_devices, or use --closed_loop_mode chunked.")
             planner = TpuRulePlanner(lane_graphs, store.map_names, pc,
                                      others_chunk=chunk)
         else:
@@ -267,9 +275,8 @@ def main(argv=None):
                 # adv_scenario_gen.py:209-219); sem one-hots index the
                 # EFFECTIVE (possibly reduced) category set
                 feas = restrict_attackers_to_category(
-                    feas, scene.sem[0],
-                    effective_categories(cfg.agent_types, cfg.reduce_cats),
-                    cfg.adv_attack_with)
+                    feas, scene.sem[0], eff_cats, cfg.adv_attack_with,
+                    reduced=cfg.reduce_cats)
             n_feas = int(np.asarray(feas).sum())
             if int(scene.num_agents()[0]) <= 1 or n_feas == 0:
                 Logger.log(f"scene {di}: infeasible, skip")

@@ -103,7 +103,7 @@ def plot_scenario_distrib(n_clusters, cluster_labels, label_idx_by_taxonomy,
         counts.append(c[sort_inds])
     y_pos = np.arange(n_clusters)
     y_off = np.linspace(-0.2, 0.2, len(counts))[::-1]
-    w = y_off[1] - y_off[0]
+    w = abs(y_off[1] - y_off[0])  # bar height; y_off is descending
     for c, off, color, name in zip(counts, y_off, ("orange", "red"),
                                    ("Solution Found", "No Solution")):
         plt.barh(y_pos + off, c, w, color=color, align="center", label=name)

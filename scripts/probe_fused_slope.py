@@ -133,8 +133,7 @@ def main():
     other_obs = np.repeat(init_state[:, :, None, (0, 1, 2, 3)], FT, axis=2)
     # drive others forward along their heading at their speed
     spd = init_state[:, :, 4]
-    hx = np.cos(init_state[:, :, 2] * 0 + np.arctan2(init_state[:, :, 3],
-                                                     init_state[:, :, 2]))
+    hx = np.cos(np.arctan2(init_state[:, :, 3], init_state[:, :, 2]))
     hy = np.sin(np.arctan2(init_state[:, :, 3], init_state[:, :, 2]))
     for ti, t in enumerate(obs_t):
         other_obs[:, :, ti, 0] = init_state[:, :, 0] + hx * spd * t

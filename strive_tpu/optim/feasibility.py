@@ -74,7 +74,8 @@ def determine_feasibility(samples, mask, state_norm, feasibility_thresh,
     return feasible, feasible_t, feasible_dist
 
 
-def restrict_attackers_to_category(feasible, sem, categories, category):
+def restrict_attackers_to_category(feasible, sem, categories, category,
+                                   reduced=False):
     """Keep only feasible candidates of one semantic category.
 
     Reference ``adv_scenario_gen.py:209-219`` (``--adv_attack_with``): the
@@ -86,20 +87,22 @@ def restrict_attackers_to_category(feasible, sem, categories, category):
     :param sem: (NA, NC) one-hot semantics incl. the ego row
     :param categories: ordered category names indexing sem's columns
         (the EFFECTIVE set — post ``reduce_cats``)
-    :param category: name that may attack (e.g. 'cyclist'). A raw name is
-        mapped through ``REDUCED_CAT`` when the effective set is reduced
-        (e.g. ``--adv_attack_with bus`` under ``--reduce_cats`` restricts
-        to the 'truck' column it reduces to); a category absent from the
-        effective set yields an all-False mask — the reference simply
-        finds zero candidates of that category and skips the scene
-        (``adv_scenario_gen.py:209-219``), it never crashes.
+    :param category: name that may attack (e.g. 'cyclist'). A category
+        absent from the effective set yields an all-False mask — the
+        reference simply finds zero candidates of that category and skips
+        the scene (``adv_scenario_gen.py:209-219``), it never crashes.
+    :param reduced: True when ``categories`` is the REDUCED set
+        (``--reduce_cats``); only then is a raw name mapped through
+        ``REDUCED_CAT`` (e.g. ``--adv_attack_with bus`` restricts to the
+        'truck' column it reduces to). Without reduction an unknown name
+        must NOT silently substitute a different category.
     """
     import numpy as np
 
     from ..normalize import REDUCED_CAT
 
     cats = list(categories)
-    if category not in cats and REDUCED_CAT.get(category) in cats:
+    if reduced and category not in cats and REDUCED_CAT.get(category) in cats:
         category = REDUCED_CAT[category]
     if category not in cats:
         return jnp.zeros_like(jnp.asarray(feasible, bool))

@@ -59,12 +59,18 @@ def test_restrict_attackers_reduced_and_missing_category():
     sem = jnp.asarray(np.array([[1, 0, 0], [0, 0, 1], [1, 0, 0], [0, 0, 1]],
                                np.float32))
     feas = jnp.asarray(np.array([True, True, True]))
-    # 'bus' reduces to 'truck': agents 1 and 3 are trucks
-    got = np.asarray(restrict_attackers_to_category(feas, sem, cats, "bus"))
+    # 'bus' reduces to 'truck' under --reduce_cats: agents 1, 3 are trucks
+    got = np.asarray(restrict_attackers_to_category(feas, sem, cats, "bus",
+                                                    reduced=True))
     np.testing.assert_array_equal(got, [True, False, True])
+    # WITHOUT reduction 'bus' must NOT silently substitute 'truck': the
+    # dataset simply has no buses -> zero candidates, like the reference
+    got = np.asarray(restrict_attackers_to_category(feas, sem, cats, "bus"))
+    np.testing.assert_array_equal(got, [False, False, False])
     # 'pedestrian' is absent from the effective set: all-False, no crash
     got = np.asarray(restrict_attackers_to_category(feas, sem, cats,
-                                                    "pedestrian"))
+                                                    "pedestrian",
+                                                    reduced=True))
     np.testing.assert_array_equal(got, [False, False, False])
 
 
